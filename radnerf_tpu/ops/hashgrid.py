@@ -1,0 +1,186 @@
+"""Multiresolution hash-grid encoding (Instant-NGP).
+
+TPU twin of tinycudann's Grid/Hash encoding, the xyz encoder of every field
+in the reference (models/networks.py:42-55: L=16 levels, F=2 features,
+T=2^log2_T entries, N_min=16, per-level scale b, linear interpolation).
+
+Semantics follow tcnn / the Instant-NGP paper (arXiv:2201.05989):
+  scale_l  = N_min * b**l - 1
+  res_l    = ceil(scale_l) + 1
+  pos      = x * scale_l + 0.5          (x in [0,1]^3)
+  corner   = floor(pos) + {0,1}^3, trilinear weights from frac(pos)
+  index    = x + y*res + z*res^2                 if res^3 <= T   (dense)
+           = (x*1 ^ y*2654435761 ^ z*805459861)  otherwise       (hashed)
+  index  %= T  (T is a power of two -> bitwise and)
+  out      = concat over levels of interpolated F-vectors  -> (N, L*F)
+
+Forward = one big gather over the stacked (L, T, F) table; backward (the
+training bottleneck) = XLA scatter-add via autodiff of the gather. A Pallas
+kernel (ops/hashgrid_pallas.py) accelerates the hot path; this file is the
+semantic reference implementation and the fallback.
+
+Tables are stored as a single (L, T, F) array: uniform shapes keep the
+gather/scatter XLA-friendly; dense low-resolution levels simply use a prefix
+of their T rows, matching tcnn's dense addressing exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Spatial hash primes (Instant-NGP paper, table 1; tcnn fast_hash).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    """Static configuration of the hash-grid encoder.
+
+    Defaults mirror the reference field (networks.py:38-40):
+    L=16, F=2, log2_T=19, N_min=16, b=exp(ln(2048*scale/16)/15).
+    """
+
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    per_level_scale: float = 1.3819128800   # b for scene scale=1 (opt.py:23)
+    interpolation: str = "linear"
+
+    @staticmethod
+    def for_scene_scale(
+        scale: float,
+        n_levels: int = 16,
+        n_features: int = 2,
+        log2_table_size: int = 19,
+        base_resolution: int = 16,
+        max_resolution_mult: float = 2048.0,
+    ) -> "HashGridConfig":
+        """b chosen so the finest level reaches 2048*scale (networks.py:39)."""
+        b = math.exp(
+            math.log(max_resolution_mult * scale / base_resolution)
+            / (n_levels - 1)
+        )
+        return HashGridConfig(
+            n_levels=n_levels,
+            n_features=n_features,
+            log2_table_size=log2_table_size,
+            base_resolution=base_resolution,
+            per_level_scale=b,
+        )
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_table_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    def level_scales(self) -> np.ndarray:
+        l = np.arange(self.n_levels)
+        return (
+            self.base_resolution * self.per_level_scale**l - 1.0
+        ).astype(np.float32)
+
+    def level_resolutions(self) -> np.ndarray:
+        return (np.ceil(self.level_scales()) + 1).astype(np.int64)
+
+    def level_is_dense(self) -> np.ndarray:
+        res = self.level_resolutions()
+        return (res**3) <= self.table_size
+
+
+def init_hashgrid_table(
+    key: jax.Array, cfg: HashGridConfig, dtype=jnp.float32
+) -> jnp.ndarray:
+    """tcnn's default init: uniform in [-1e-4, 1e-4]."""
+    return jax.random.uniform(
+        key,
+        (cfg.n_levels, cfg.table_size, cfg.n_features),
+        dtype=dtype,
+        minval=-1e-4,
+        maxval=1e-4,
+    )
+
+
+# The 8 cube-corner offsets, shaped for broadcasting: (8, 3).
+_CORNERS = np.array(
+    [[i, j, k] for k in (0, 1) for j in (0, 1) for i in (0, 1)],
+    dtype=np.int32,
+)
+
+
+def hashgrid_indices(
+    x: jnp.ndarray, cfg: HashGridConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute gather indices and trilinear weights for all levels.
+
+    Args:
+        x: (N, 3) positions in [0, 1]^3.
+    Returns:
+        idx: (L, N, 8) int32 per-level table rows.
+        w:   (L, N, 8) float32 trilinear weights.
+    """
+    scales = jnp.asarray(cfg.level_scales())  # (L,)
+    res = jnp.asarray(cfg.level_resolutions().astype(np.int32))
+    dense = jnp.asarray(cfg.level_is_dense())
+    tmask = jnp.uint32(cfg.table_size - 1)
+
+    pos = x[None, :, :] * scales[:, None, None] + 0.5  # (L, N, 3)
+    pos_i = jnp.floor(pos)
+    frac = (pos - pos_i).astype(jnp.float32)
+    pos_i = pos_i.astype(jnp.int32)
+
+    corner = pos_i[:, :, None, :] + _CORNERS[None, None, :, :]  # (L,N,8,3)
+    cu = corner.astype(jnp.uint32)
+
+    r = res[:, None, None].astype(jnp.uint32)
+    idx_dense = cu[..., 0] + r * (cu[..., 1] + r * cu[..., 2])
+    idx_hash = (
+        cu[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
+    )
+    idx = jnp.where(dense[:, None, None], idx_dense, idx_hash) & tmask
+
+    # Trilinear weights: prod_d (corner_d ? frac_d : 1 - frac_d).
+    csel = _CORNERS[None, None, :, :].astype(jnp.float32)  # (1,1,8,3)
+    w = jnp.prod(
+        csel * frac[:, :, None, :] + (1.0 - csel) * (1.0 - frac[:, :, None, :]),
+        axis=-1,
+    )
+    return idx.astype(jnp.int32), w
+
+
+def hashgrid_encode(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Encode positions through the multiresolution hash grid.
+
+    Args:
+        table: (L, T, F) feature table.
+        x: (N, 3) positions in [0, 1]^3 (caller clips; reference
+           networks.py:100-101 normalizes by bbox then clips).
+    Returns:
+        (N, L*F) features, level-major (matching tcnn's output layout).
+    """
+    L, T, F = table.shape
+    idx, w = hashgrid_indices(x, cfg)  # (L,N,8), (L,N,8)
+    flat_idx = (
+        jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx
+    ).reshape(-1)
+    feats = jnp.take(
+        table.reshape(L * T, F).astype(compute_dtype), flat_idx, axis=0
+    ).reshape(L, x.shape[0], 8, F)
+    out = jnp.sum(w[..., None].astype(compute_dtype) * feats, axis=2)
+    # (L, N, F) -> (N, L*F) level-major.
+    return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], L * F)

@@ -1,0 +1,282 @@
+"""Occupancy-grid ray marching on a closed-form sample lattice.
+
+TPU twin of `vren.raymarching_train` / `vren.raymarching_test`
+(reference: models/csrc/raymarching.cu:166-454).
+
+Key insight that makes this XLA-friendly: the CUDA marcher's step schedule
+    t_{k+1} = t_k + clamp(t_k * f, dt_min, dt_max)
+defines a *deterministic lattice* that depends only on the start t — the DDA
+"empty-space skip" (raymarching.cu:224-233) merely fast-forwards along the
+same lattice without consuming the sample budget. So instead of a sequential
+per-ray loop with atomic compaction, we:
+
+  1. evaluate the lattice t_k for k = 0..K-1 in closed form (the recurrence
+     is piecewise linear -> geometric -> linear, so t_k is a direct formula
+     of k — no scan),
+  2. occupancy-test all K candidates in parallel (bitfield gather),
+  3. compact the first S occupied candidates per ray into dense (N, S)
+     buffers with a cumsum + scatter.
+
+Sample positions are bit-for-bit on the same lattice as the CUDA kernel
+(up to fp32 closed-form vs sequential-accumulation rounding); the ragged CSR
+output (`rays_a`) becomes a dense (N, S) block + per-ray sample count, which
+is what the masked compositor consumes.
+
+dt_min = sqrt(3)/max_samples and dt_max = sqrt(3)*2*scale/grid_size match
+calc_dt (raymarching.cu:11-13); mip selection matches mip_from_pos /
+mip_from_dt (raymarching.cu:19-32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+SQRT3 = math.sqrt(3.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Static marching parameters (shapes and schedule constants)."""
+
+    scale: float = 0.5
+    cascades: int = 1
+    grid_size: int = 128
+    exp_step_factor: float = 0.0
+    max_samples: int = 1024          # reference MAX_SAMPLES (rendering.py:8)
+    samples_per_ray: int = 128       # S: occupied samples retained per ray
+    n_candidates: int = 0            # K: lattice points examined; 0 = auto
+
+    @property
+    def dt_min(self) -> float:
+        return SQRT3 / self.max_samples
+
+    @property
+    def dt_max(self) -> float:
+        return SQRT3 * 2.0 * self.scale / self.grid_size
+
+    @property
+    def k_candidates(self) -> int:
+        if self.n_candidates > 0:
+            return self.n_candidates
+        if self.exp_step_factor == 0.0:
+            # Linear lattice: crossing the [-scale, scale]^3 box diagonal
+            # takes at most 2*scale*sqrt(3)/dt_min = 2*scale*max_samples
+            # steps; the reference's own budget is max_samples occupied.
+            return min(
+                self.max_samples,
+                int(math.ceil(2.0 * self.scale * self.max_samples)) + 1,
+            )
+        # Exponential lattice: count worst-case steps to cross the box.
+        f = self.exp_step_factor
+        t_a, t_b = self.dt_min / f, self.dt_max / f
+        t_end = 2.0 * self.scale * SQRT3
+        k = t_a / self.dt_min  # linear phase from t=0
+        if t_end > t_a:
+            k += math.log(min(t_end, t_b) / t_a) / math.log1p(f)
+        if t_end > t_b:
+            k += (t_end - t_b) / self.dt_max
+        return int(math.ceil(k)) + 8
+
+
+def sample_lattice(
+    t_start: jnp.ndarray, k: jnp.ndarray, cfg: MarchConfig
+) -> jnp.ndarray:
+    """Closed-form lattice position t_k for start value t_start.
+
+    Reproduces k applications of t <- t + clamp(t*f, dt_min, dt_max).
+    t_start: (...,); k: broadcastable int array. Returns t of broadcast shape.
+    """
+    f = cfg.exp_step_factor
+    dt_min, dt_max = cfg.dt_min, cfg.dt_max
+    kf = k.astype(jnp.float32)
+    if f == 0.0:
+        return t_start + kf * dt_min
+    t_a, t_b = dt_min / f, dt_max / f
+    log1pf = math.log1p(f)
+    # Phase A: linear steps of dt_min while t < t_a.
+    kA = jnp.maximum(jnp.ceil((t_a - t_start) / dt_min), 0.0)
+    tA = t_start + kA * dt_min
+    # Phase B: geometric growth by (1+f) while t < t_b.
+    kB = jnp.maximum(
+        jnp.ceil(jnp.log(jnp.maximum(t_b / tA, 1e-12)) / log1pf), 0.0
+    )
+    tB = tA * jnp.exp(kB * log1pf)
+    # Phase C: linear steps of dt_max.
+    t_lin = t_start + kf * dt_min
+    t_geo = tA * jnp.exp((kf - kA) * log1pf)
+    t_far = tB + (kf - kA - kB) * dt_max
+    return jnp.where(kf <= kA, t_lin, jnp.where(kf <= kA + kB, t_geo, t_far))
+
+
+def calc_dt(t: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
+    """Step size at distance t (raymarching.cu:11-13)."""
+    return jnp.clip(t * cfg.exp_step_factor, cfg.dt_min, cfg.dt_max)
+
+
+def occupancy_lookup(
+    xyz: jnp.ndarray, dt: jnp.ndarray, occ_grid: jnp.ndarray, cfg: MarchConfig
+) -> jnp.ndarray:
+    """Multi-cascade occupancy test.
+
+    Args:
+        xyz: (..., 3) world positions.
+        dt: (...,) step sizes (selects the mip together with position).
+        occ_grid: (C, G, G, G) boolean occupancy (unpacked bitfield, linear
+            layout — see ops/morton.py for the layout note).
+    Returns:
+        (...,) boolean occupancy.
+    """
+    C, G = cfg.cascades, cfg.grid_size
+    mx = jnp.max(jnp.abs(xyz), axis=-1)
+    # mip_from_pos: exponent of frexp(mx) + 1 (raymarching.cu:19-23).
+    _, e1 = jnp.frexp(mx)
+    m1 = jnp.clip(e1 + 1, 0, C - 1)
+    # mip_from_dt: exponent of frexp(dt*G) (raymarching.cu:29-32).
+    _, e2 = jnp.frexp(dt * G)
+    m2 = jnp.clip(e2, 0, C - 1)
+    mip = jnp.maximum(m1, m2)
+    mip_bound = jnp.minimum(jnp.exp2((mip - 1).astype(jnp.float32)), cfg.scale)
+    n = jnp.clip(
+        0.5 * (xyz / mip_bound[..., None] + 1.0) * G, 0.0, G - 1.0
+    ).astype(jnp.int32)
+    flat = ((mip * G + n[..., 0]) * G + n[..., 1]) * G + n[..., 2]
+    return jnp.take(occ_grid.reshape(-1), flat, axis=0).astype(jnp.bool_)
+
+
+def march_rays_train(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t1: jnp.ndarray,
+    t2: jnp.ndarray,
+    occ_grid: jnp.ndarray,
+    cfg: MarchConfig,
+    noise: jnp.ndarray | None = None,
+) -> dict:
+    """Training-time marching: dense (N, S) occupied samples per ray.
+
+    Args:
+        rays_o, rays_d: (N, 3). t1, t2: (N,) from AABB intersection
+            (t1 < 0 means no hit -> zero samples, raymarching.cu:203-204).
+        occ_grid: (C, G, G, G) bool.
+        noise: (N,) uniform [0,1) start-jitter (custom_functions.py:83);
+            None disables jitter.
+    Returns dict with:
+        ts, deltas: (N, S) f32 (zero on unused slots).
+        valid: (N, S) bool sample mask.
+        n_samples: (N,) int32 per-ray sample count (== rays_a[:, 2]).
+    """
+    N = rays_o.shape[0]
+    S = cfg.samples_per_ray
+    K = cfg.k_candidates
+
+    t1 = t1.astype(jnp.float32)
+    if noise is not None:
+        t1 = jnp.where(t1 >= 0, t1 + calc_dt(t1, cfg) * noise, t1)
+
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
+    t = sample_lattice(t1[:, None], k, cfg)  # (N, K)
+    dt = calc_dt(t, cfg)
+    in_range = (t1[:, None] >= 0) & (t >= 0) & (t < t2[:, None])
+
+    xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]  # (N, K, 3)
+    occ = occupancy_lookup(xyz, dt, occ_grid, cfg)
+    keep = in_range & occ
+
+    within = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # inclusive count
+    slot = within - 1
+    write = keep & (slot < S)
+    ray_id = jnp.arange(N, dtype=jnp.int32)[:, None]
+    dst = jnp.where(write, ray_id * S + slot, N * S)  # OOB rows get dropped
+
+    def scatter(vals):
+        return (
+            jnp.zeros((N * S,), vals.dtype)
+            .at[dst.reshape(-1)]
+            .set(vals.reshape(-1), mode="drop")
+            .reshape(N, S)
+        )
+
+    ts = scatter(t)
+    deltas = scatter(dt)
+    n_samples = jnp.minimum(within[:, -1], S)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
+    return {"ts": ts, "deltas": deltas, "valid": valid, "n_samples": n_samples}
+
+
+def march_rays_test_block(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cursor: jnp.ndarray,
+    t2: jnp.ndarray,
+    occ_grid: jnp.ndarray,
+    cfg: MarchConfig,
+    n_samples: int,
+    k_block: int = 512,
+) -> dict:
+    """One block of test-time marching (twin of vren.raymarching_test).
+
+    From each ray's persistent `cursor` t, examine the next `k_block` lattice
+    candidates and compact the first `n_samples` occupied ones. The returned
+    `new_cursor` resumes exactly where the CUDA kernel would
+    (raymarching.cu:390: t advanced past the last taken sample, or past the
+    last examined candidate).
+
+    NOTE the reference's test kernel passes `cascades` where calc_dt expects
+    `scale` (raymarching.cu:370 — quirk #3 in SURVEY.md §8). We deliberately
+    use `scale`, i.e. the *corrected* schedule; for the headline configs
+    (scale 0.5, cascades 1) the clamp bound differs only in unbounded scenes.
+
+    Returns dict with ts/deltas/valid (N, n_samples) and new_cursor (N,).
+    """
+    N = rays_o.shape[0]
+    S = n_samples
+    K = k_block
+
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    t = sample_lattice(cursor[:, None], k, cfg)  # (N, K)
+    dt = calc_dt(t, cfg)
+    in_range = (cursor[:, None] >= 0) & (t < t2[:, None])
+    xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(xyz, dt, occ_grid, cfg)
+    keep = in_range & occ
+
+    within = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    slot = within - 1
+    write = keep & (slot < S)
+    ray_id = jnp.arange(N, dtype=jnp.int32)[:, None]
+    dst = jnp.where(write, ray_id * S + slot, N * S)
+
+    def scatter(vals):
+        return (
+            jnp.zeros((N * S,), vals.dtype)
+            .at[dst.reshape(-1)]
+            .set(vals.reshape(-1), mode="drop")
+            .reshape(N, S)
+        )
+
+    ts = scatter(t)
+    deltas = scatter(dt)
+    got = jnp.minimum(within[:, -1], S)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < got[:, None]
+
+    # Cursor: lattice index right after the S-th occupied candidate, or K if
+    # the block was exhausted. t at that index is the next start.
+    took_all = within[:, -1] >= S
+    # index of the S-th occupied candidate = argmax(within == S & keep)
+    idx_s = jnp.argmax((within == S) & keep, axis=1)
+    next_idx = jnp.where(took_all, idx_s + 1, K)
+    new_cursor = sample_lattice(cursor, next_idx, cfg)
+    new_cursor = jnp.where(
+        jnp.minimum(new_cursor, t2) == new_cursor, new_cursor, t2
+    )
+    return {
+        "ts": ts,
+        "deltas": deltas,
+        "valid": valid,
+        "n_eff": got,
+        "new_cursor": new_cursor,
+    }

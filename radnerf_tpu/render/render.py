@@ -1,0 +1,187 @@
+"""Single-field rendering (train + test).
+
+TPU twin of `render` / `__render_rays_train` / `__render_rays_test`
+(reference: models/rendering.py). Train path: AABB intersect -> lattice
+march -> field eval on dense (N, S) samples -> masked compositing ->
+background blend. Test path: resumable blockwise marching under
+lax.while_loop with dense alive-masking (the static-shape counterpart of
+the reference's alive_indices compaction, rendering.py:142-174).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.compositing import composite_test_block, composite_train
+from ..ops.intersection import scene_near_far
+from ..ops.marching import MarchConfig, march_rays_test_block, march_rays_train
+from ..models.ngp import NGPConfig, ngp_forward, scene_center_half
+
+MAX_SAMPLES = 1024
+NEAR_DISTANCE = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render-time knobs (the kwargs of reference render())."""
+
+    exp_step_factor: float = 0.0       # 1/256 when scale > 0.5 (train_ml.py:101-102)
+    T_threshold: float = 1e-4
+    samples_per_ray: int = 192         # S: static replacement for ragged CSR
+    max_samples: int = MAX_SAMPLES
+    random_bg: bool = False
+    test_block_samples: int = 64       # samples per while-loop iteration
+    test_k_block: int = 256            # lattice candidates examined per iter
+
+    def march(self, cfg: NGPConfig) -> MarchConfig:
+        return MarchConfig(
+            scale=cfg.scale,
+            cascades=cfg.cascades,
+            grid_size=cfg.grid_size,
+            exp_step_factor=self.exp_step_factor,
+            max_samples=self.max_samples,
+            samples_per_ray=self.samples_per_ray,
+        )
+
+
+def background_color(rcfg: RenderConfig, key: jax.Array | None) -> jnp.ndarray:
+    """White for synthetic scenes (exp_step_factor == 0), else black or a
+    random color (rendering.py:229-235)."""
+    if rcfg.exp_step_factor == 0.0:
+        return jnp.ones(3)
+    if rcfg.random_bg and key is not None:
+        return jax.random.uniform(key, (3,))
+    return jnp.zeros(3)
+
+
+def render_train(
+    params: dict,
+    state: dict,
+    cfg: NGPConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    key: jax.Array,
+    rcfg: RenderConfig,
+    forward_fn=None,
+) -> dict:
+    """Training-time render of a ray batch.
+
+    `forward_fn(x, d) -> (sigmas, rgbs)` overrides the field evaluation
+    (used by ensemble renderers); defaults to the NGP field.
+    Returns the reference's result dict on the dense layout:
+    rgb (N,3), depth (N,), opacity (N,), ws/ts/deltas/valid (N,S),
+    n_samples (N,), rm_samples, vr_samples, total_samples.
+    """
+    if forward_fn is None:
+        forward_fn = lambda x, d: ngp_forward(params, state, cfg, x, d)
+    N = rays_o.shape[0]
+    k_noise, k_bg = jax.random.split(key)
+    center, half = scene_center_half(state)
+    t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
+    mcfg = rcfg.march(cfg)
+    noise = jax.random.uniform(k_noise, (N,))
+    m = march_rays_train(rays_o, rays_d, t1, t2, state["occ"], mcfg, noise)
+    S = mcfg.samples_per_ray
+
+    xyz = rays_o[:, None, :] + m["ts"][..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
+    sigmas, rgbs = forward_fn(xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+    sigmas = sigmas.reshape(N, S)
+    rgbs = rgbs.reshape(N, S, 3)
+
+    out = composite_train(
+        sigmas, rgbs, m["deltas"], m["ts"], m["valid"], rcfg.T_threshold
+    )
+    rgb_bg = background_color(rcfg, k_bg)
+    out["rgb"] = out["rgb"] + rgb_bg * (1.0 - out["opacity"])[:, None]
+    out.update(
+        ts=m["ts"], deltas=m["deltas"], valid=m["valid"],
+        n_samples=m["n_samples"],
+        rm_samples=jnp.sum(m["n_samples"]),
+        total_samples=jnp.sum(out["vr_samples"]),
+    )
+    return out
+
+
+def render_test(
+    params: dict,
+    state: dict,
+    cfg: NGPConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    rcfg: RenderConfig,
+    forward_fn=None,
+    occ: jnp.ndarray | None = None,
+) -> dict:
+    """Test-time render (no grad): blockwise march + resumable compositing
+    under lax.while_loop, dense alive masks instead of ray compaction.
+
+    min_samples intentionally folded into `test_block_samples`; the
+    reference's N_samples growth heuristic (rendering.py:142-147) is a
+    GPU-occupancy trick — on TPU a fixed block with masked lanes behaves
+    uniformly.
+    """
+    if forward_fn is None:
+        forward_fn = lambda x, d: ngp_forward(params, state, cfg, x, d)
+    if occ is None:
+        occ = state["occ"]
+    N = rays_o.shape[0]
+    center, half = scene_center_half(state)
+    t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
+    mcfg = rcfg.march(cfg)
+    S = rcfg.test_block_samples
+    max_iters = int(math.ceil(rcfg.max_samples / S))
+
+    init = {
+        "cursor": t1,
+        "acc": {
+            "opacity": jnp.zeros(N),
+            "depth": jnp.zeros(N),
+            "rgb": jnp.zeros((N, 3)),
+            "transmittance": jnp.ones(N),
+            "alive": (t1 >= 0),
+        },
+        "i": jnp.asarray(0),
+        "total_samples": jnp.asarray(0),
+    }
+
+    def cond(carry):
+        return (carry["i"] < max_iters) & jnp.any(
+            carry["acc"]["alive"] & (carry["cursor"] < t2)
+        )
+
+    def body(carry):
+        blk = march_rays_test_block(
+            rays_o, rays_d, carry["cursor"], t2, occ, mcfg,
+            n_samples=S, k_block=rcfg.test_k_block,
+        )
+        xyz = rays_o[:, None, :] + blk["ts"][..., None] * rays_d[:, None, :]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
+        sigmas, rgbs = forward_fn(xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+        acc = composite_test_block(
+            sigmas.reshape(N, S), rgbs.reshape(N, S, 3),
+            blk["deltas"], blk["ts"], blk["valid"], carry["acc"],
+            rcfg.T_threshold,
+        )
+        return {
+            "cursor": blk["new_cursor"],
+            "acc": acc,
+            "i": carry["i"] + 1,
+            "total_samples": carry["total_samples"]
+            + jnp.sum(jnp.where(carry["acc"]["alive"], blk["n_eff"], 0)),
+        }
+
+    carry = jax.lax.while_loop(cond, body, init)
+    acc = carry["acc"]
+    rgb_bg = background_color(rcfg, None)
+    rgb = acc["rgb"] + rgb_bg * (1.0 - acc["opacity"])[:, None]
+    return {
+        "rgb": rgb,
+        "depth": acc["depth"],
+        "opacity": acc["opacity"],
+        "total_samples": carry["total_samples"],
+    }

@@ -1,0 +1,485 @@
+"""Trainer system — twin of the reference's Lightning `NeRFSystem`
+(train.py:56-287 / train_ml.py:55-273), re-architected for TPU:
+
+- the WHOLE hot path (batch gather -> ray gen -> march -> field -> composite
+  -> loss -> backward -> adam) is ONE jitted, shard_map'd XLA program per
+  step; ray batches are gathered device-side from a device-resident ray
+  store (the reference samples on host with num_workers=0 — quirk 10);
+- data parallelism over rays on a 1-axis mesh (grad pmean over ICI);
+- density-grid updates every 16 steps, jitted, replicated via shared PRNG;
+- cosine LR per epoch (CosineAnnealingLR twin: eta_min = lr/30,
+  T_max = num_epochs, train_ml.py:148-151), adam eps=1e-15 (FusedAdam twin);
+- validation every min(num_epochs, 10) epochs: PSNR/SSIM (+LPIPS opt-in),
+  pred + turbo-depth PNG dumps, metric names identical to the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import dataset_dict
+from ..losses import nerf_loss, total_loss
+from ..metrics import psnr as psnr_fn
+from ..metrics import ssim as ssim_fn
+from ..models.gates import init_ray_gate
+from ..models.mngp import (
+    MNGPConfig,
+    init_mngp,
+    init_mngp_state,
+    mngp_update_density_grids,
+)
+from ..models.ngp import (
+    NGPConfig,
+    init_ngp,
+    init_ngp_state,
+    update_density_grid,
+)
+from ..parallel import make_mesh, make_train_step, shard_batch
+from ..render.ml_render import ml_render_test, ml_render_train
+from ..render.render import RenderConfig, render_test, render_train
+from ..utils.ckpt import load_weights_into, save_ckpt, slim_ckpt
+from ..utils.jax_setup import enable_compilation_cache
+from ..utils.logging import MetricWriter, init_global_logger
+
+MAX_SAMPLES = 1024
+UPDATE_INTERVAL = 16  # train_ml.py:61
+DENSITY_THRESHOLD = 0.01 * MAX_SAMPLES / math.sqrt(3)  # train_ml.py:175
+
+
+def jnp_get_rays(directions, c2w):
+    """Device-side twin of data.ray_utils.get_rays for (N,3)x(N,3,4)."""
+    rays_d = jnp.einsum("nc,nbc->nb", directions, c2w[..., :3])
+    rays_o = c2w[..., 3]
+    return rays_o, rays_d
+
+
+class NeRFSystem:
+    def __init__(self, hparams):
+        self.h = hparams
+        enable_compilation_cache()
+        self.moe = bool(getattr(hparams, "moe_training", False))
+        self.logger = init_global_logger(
+            f"logs/{hparams.dataset_name}/{hparams.scene_name}/"
+            f"{hparams.exp_name}/log.txt"
+        )
+        self.writer = MetricWriter(
+            f"logs/{hparams.dataset_name}/{hparams.scene_name}/"
+            f"{hparams.exp_name}"
+        )
+        self.ckpt_dir = (
+            f"ckpts/{hparams.dataset_name}/{hparams.scene_name}/"
+            f"{hparams.exp_name}"
+        )
+        self.val_dir = (
+            f"results/{hparams.dataset_name}/{hparams.scene_name}/"
+            f"{hparams.exp_name}"
+        )
+        self.key = jax.random.PRNGKey(getattr(hparams, "seed", 1337))
+        self.global_step = 0
+
+        # render config (exp_step_factor rule: train_ml.py:101-102)
+        self.rcfg = RenderConfig(
+            exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
+            samples_per_ray=getattr(hparams, "samples_per_ray", 192),
+            random_bg=getattr(hparams, "random_bg", False),
+        )
+
+        cdt = getattr(hparams, "compute_dtype", "bfloat16")
+        if self.moe:
+            self.cfg = MNGPConfig(
+                scale=hparams.scale,
+                log2_T=hparams.hash_table_size,
+                n_experts=hparams.model_zoo_size,
+                compute_dtype=cdt,
+            )
+        else:
+            self.cfg = NGPConfig(
+                scale=hparams.scale,
+                log2_T=hparams.hash_table_size,
+                compute_dtype=cdt,
+            )
+        self.mesh = make_mesh(getattr(hparams, "num_devices", 0))
+        self.n_devices = self.mesh.devices.size
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        h = self.h
+        kwargs = {
+            "root_dir": h.root_dir,
+            "downsample": h.downsample,
+            "num_view": getattr(h, "num_view", 0),
+        }
+        self.train_dataset = dataset_dict[h.dataset_type](
+            split=h.split, **kwargs
+        )
+        self.train_dataset.batch_size = h.batch_size
+        self.test_dataset = dataset_dict[h.dataset_type](
+            split="test", **kwargs
+        )
+        self.logger.info(
+            f"train dataset: {len(self.train_dataset.poses)} images, "
+            f"img_wh={self.train_dataset.img_wh}, "
+            f"devices={self.n_devices}"
+        )
+        # device-resident ray store (replicated)
+        self.data = {
+            "rays": jnp.asarray(self.train_dataset.rays),
+            "poses": jnp.asarray(self.train_dataset.poses),
+            "directions": jnp.asarray(self.train_dataset.directions),
+        }
+        self.mean_dir = jnp.mean(self.data["directions"], axis=0)
+
+        self.configure_model()
+        self.configure_optimizers()
+        self.build_steps()
+
+    def configure_model(self):
+        self.key, k1, k2 = jax.random.split(self.key, 3)
+        if self.moe:
+            self.params = init_mngp(k1, self.cfg)
+            self.gate_params = init_ray_gate(
+                k2, self.cfg.n_experts,
+            )
+            self.model_state = init_mngp_state(self.cfg)
+        else:
+            self.params = init_ngp(k1, self.cfg)
+            self.gate_params = None
+            self.model_state = init_ngp_state(self.cfg)
+        wp = getattr(self.h, "weight_path", None)
+        if wp:
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, load_weights_into(self.params, wp)
+            )
+            self.logger.info(f"warm-started weights from {wp}")
+
+    def configure_optimizers(self):
+        h = self.h
+        spe = self.train_dataset.STEPS_PER_EPOCH
+        eta_min = h.lr / 30  # train_ml.py:148
+
+        def lr_schedule(step):
+            epoch = jnp.minimum(step // spe, h.num_epochs)
+            return eta_min + 0.5 * (h.lr - eta_min) * (
+                1 + jnp.cos(jnp.pi * epoch / h.num_epochs)
+            )
+
+        self.lr_schedule = lr_schedule
+        self.optimizer = optax.adam(
+            lr_schedule, eps=1e-15
+        )  # FusedAdam twin (train_ml.py:143)
+        self.trainable = self._bundle_params()
+        self.opt_state = self.optimizer.init(self.trainable)
+
+    def _bundle_params(self):
+        if self.moe:
+            return {"model": self.params, "gate": self.gate_params}
+        return {"model": self.params}
+
+    def _unbundle(self, bundle):
+        if self.moe:
+            return bundle["model"], bundle["gate"]
+        return bundle["model"], None
+
+    # ------------------------------------------------------------------
+    def build_steps(self):
+        h = self.h
+        cfg, rcfg = self.cfg, self.rcfg
+        moe = self.moe
+        gate_type = getattr(h, "gate_type", "ray")
+        mean_dir = self.mean_dir
+
+        def loss_fn(bundle, model_state, batch, data, key):
+            params, gate_params = self._unbundle_static(bundle, moe)
+            k_sample, k_render = jax.random.split(key)
+            n_local = batch["img_idxs"].shape[0]
+            poses = data["poses"][batch["img_idxs"]]
+            directions = data["directions"][batch["pix_idxs"]]
+            rays_o, rays_d = jnp_get_rays(directions, poses)
+            target = {
+                "rgb": data["rays"][batch["img_idxs"], batch["pix_idxs"]][
+                    :, :3
+                ]
+            }
+            if moe:
+                imgs_d = jnp_get_rays(
+                    jnp.broadcast_to(mean_dir, (n_local, 3)), poses
+                )[1]
+                out = ml_render_train(
+                    params, model_state, cfg, gate_params, rays_o, rays_d,
+                    imgs_d, k_render, rcfg, gate_type,
+                )
+                ld = nerf_loss(
+                    out, target,
+                    lambda_opacity=h.opacity_loss_w,
+                    lambda_distortion=h.distortion_loss_w,
+                    lambda_disp=h.disp_loss_w,
+                    lambda_cv_importance=h.cv_loss_w,
+                    lambda_depth_mutual=h.depth_mutual_loss_w,
+                )
+            else:
+                out = render_train(
+                    params, model_state, cfg, rays_o, rays_d, k_render, rcfg
+                )
+                ld = nerf_loss(
+                    out, target,
+                    lambda_opacity=h.opacity_loss_w,
+                    lambda_distortion=h.distortion_loss_w,
+                    lambda_disp=h.disp_loss_w,
+                )
+            loss = total_loss(ld)
+            aux = {
+                "psnr": psnr_fn(out["rgb"], target["rgb"]),
+                "rm_samples": out["rm_samples"].astype(jnp.float32),
+            }
+            return loss, aux
+
+        self.train_step = make_train_step(loss_fn, self.optimizer, self.mesh)
+
+        if moe:
+            self._grid_update = jax.jit(
+                lambda p, s, k, warmup: mngp_update_density_grids(
+                    p, s, cfg, k, DENSITY_THRESHOLD, warmup
+                ),
+                static_argnames="warmup",
+            )
+        else:
+            self._grid_update = jax.jit(
+                lambda p, s, k, warmup: update_density_grid(
+                    p, s, cfg, k, DENSITY_THRESHOLD, warmup
+                ),
+                static_argnames="warmup",
+            )
+
+        # test-time chunk renderer (jitted once per chunk shape)
+        def render_chunk(bundle, model_state, rays_o, rays_d, imgs_d):
+            params, gate_params = self._unbundle_static(bundle, moe)
+            if moe:
+                return ml_render_test(
+                    params, model_state, cfg, gate_params, rays_o, rays_d,
+                    imgs_d, rcfg, gate_type,
+                )
+            return render_test(
+                params, model_state, cfg, rays_o, rays_d, rcfg
+            )
+
+        self.render_chunk = jax.jit(render_chunk)
+
+    @staticmethod
+    def _unbundle_static(bundle, moe):
+        if moe:
+            return bundle["model"], bundle["gate"]
+        return bundle["model"], None
+
+    # ------------------------------------------------------------------
+    def sample_batch_indices(self, key):
+        """Device-side (img, pix) sampling — base.py:23-30 semantics."""
+        n_img = self.data["poses"].shape[0]
+        n_pix = self.data["directions"].shape[0]
+        k1, k2 = jax.random.split(key)
+        b = self.h.batch_size
+        return {
+            "img_idxs": jax.random.randint(k1, (b,), 0, n_img),
+            "pix_idxs": jax.random.randint(k2, (b,), 0, n_pix),
+        }
+
+    def update_grid(self, warmup: bool):
+        self.key, k = jax.random.split(self.key)
+        self.model_state = self._grid_update(
+            self.params, self.model_state, k, warmup
+        )
+
+    def fit(self):
+        h = self.h
+        spe = self.train_dataset.STEPS_PER_EPOCH
+        check_every = min(h.num_epochs, 10)  # train_ml.py:296
+        t_start = time.time()
+        rays_done = 0
+        for epoch in range(h.num_epochs):
+            for _ in range(spe):
+                step = self.global_step
+                if step % UPDATE_INTERVAL == 0:
+                    self.update_grid(warmup=step < h.warmup_steps)
+                self.key, k_batch, k_step = jax.random.split(self.key, 3)
+                batch = self._shard(self.sample_batch_indices(k_batch))
+                (self.trainable, self.opt_state, loss, aux) = self.train_step(
+                    self.trainable, self.opt_state, self.model_state, batch,
+                    self.data, k_step,
+                )
+                self.params = self.trainable["model"]
+                if self.moe:
+                    self.gate_params = self.trainable["gate"]
+                rays_done += h.batch_size
+                if step % 100 == 0:
+                    loss_v = float(loss)
+                    psnr_v = float(aux["psnr"])
+                    lr_v = float(self.lr_schedule(step))
+                    elapsed = time.time() - t_start
+                    self.writer.scalar("lr", lr_v, step)
+                    self.writer.scalar("train/loss", loss_v, step)
+                    self.writer.scalar("train/psnr", psnr_v, step)
+                    self.writer.scalar(
+                        "train/rays_per_s", rays_done / elapsed, step
+                    )
+                    self.logger.info(
+                        f"epoch {epoch} step {step}: loss={loss_v:.5f} "
+                        f"psnr={psnr_v:.2f} "
+                        f"rays/s={rays_done / elapsed:,.0f}"
+                    )
+                self.global_step += 1
+            if (epoch + 1) % check_every == 0 or epoch == h.num_epochs - 1:
+                self.validate(epoch)
+            self.save_checkpoint(epoch)
+        self.export_slim(h.num_epochs - 1)
+
+    def _shard(self, batch):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(self.mesh, P("ray"))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, shard), batch
+        )
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int):
+        h = self.h
+        w, img_h = self.test_dataset.img_wh
+        n_pix = w * img_h
+        chunk = getattr(h, "val_chunk", 65536)
+        directions = jnp.asarray(self.test_dataset.directions)
+        psnrs, ssims, lpipss = [], [], []
+        if not getattr(h, "no_save_test", False):
+            os.makedirs(self.val_dir, exist_ok=True)
+        n_images = len(self.test_dataset.poses)
+        for i in range(n_images):
+            pose = jnp.asarray(self.test_dataset.poses[i])
+            rgb_parts, depth_parts = [], []
+            for c0 in range(0, n_pix, chunk):
+                c1 = min(c0 + chunk, n_pix)
+                dirs = directions[c0:c1]
+                pad = chunk - (c1 - c0)
+                if pad:
+                    dirs = jnp.concatenate(
+                        [dirs, jnp.repeat(dirs[-1:], pad, 0)], 0
+                    )
+                poses_c = jnp.broadcast_to(pose, (chunk, 3, 4))
+                rays_o, rays_d = jnp_get_rays(dirs, poses_c)
+                imgs_d = jnp_get_rays(
+                    jnp.broadcast_to(self.mean_dir, (chunk, 3)), poses_c
+                )[1]
+                out = self.render_chunk(
+                    self.trainable, self.model_state, rays_o, rays_d, imgs_d
+                )
+                rgb = np.asarray(out["rgb"])
+                depth = np.asarray(out["depth"])
+                if self.moe:  # gated consensus depth (train_ml.py:243)
+                    depth = np.sum(
+                        depth * np.asarray(out["gating_code"]), axis=1
+                    )
+                if pad:
+                    rgb, depth = rgb[: c1 - c0], depth[: c1 - c0]
+                rgb_parts.append(rgb)
+                depth_parts.append(depth)
+            rgb_pred = np.concatenate(rgb_parts).reshape(img_h, w, 3)
+            depth_pred = np.concatenate(depth_parts).reshape(img_h, w)
+            if len(self.test_dataset.rays) > 0:
+                rgb_gt = np.asarray(
+                    self.test_dataset.rays[i][:, :3]
+                ).reshape(img_h, w, 3)
+                psnrs.append(float(psnr_fn(rgb_pred, rgb_gt)))
+                ssims.append(float(ssim_fn(rgb_pred, rgb_gt)))
+                if getattr(h, "eval_lpips", False):
+                    from ..metrics import lpips_vgg
+
+                    lpipss.append(lpips_vgg(rgb_pred, rgb_gt))
+            if not getattr(h, "no_save_test", False):
+                import imageio.v2 as imageio
+
+                from ..data.color_utils import depth2img
+
+                imageio.imsave(
+                    os.path.join(
+                        self.val_dir, f"{i:03d}epoch{epoch}.png"
+                    ),
+                    (rgb_pred * 255).astype(np.uint8),
+                )
+                imageio.imsave(
+                    os.path.join(
+                        self.val_dir, f"{i:03d}epoch{epoch}_d.png"
+                    ),
+                    depth2img(depth_pred),
+                )
+        if psnrs:
+            self.writer.scalar("test/psnr", np.mean(psnrs), self.global_step)
+            self.writer.scalar("test/ssim", np.mean(ssims), self.global_step)
+            self.logger.info(f"test/psnr={np.mean(psnrs)}")
+            self.logger.info(f"test/ssim={np.mean(ssims)}")
+            if lpipss:
+                self.writer.scalar(
+                    "test/lpips_vgg", np.mean(lpipss), self.global_step
+                )
+                self.logger.info(f"test/lpips={np.mean(lpipss)}")
+        return {
+            "psnr": float(np.mean(psnrs)) if psnrs else None,
+            "ssim": float(np.mean(ssims)) if ssims else None,
+        }
+
+    # ------------------------------------------------------------------
+    def resume(self, ckpt_path: str):
+        """Full resume (params + opt state + grids + step) — the twin of
+        trainer.fit(ckpt_path=...) (train_ml.py:309)."""
+        from ..utils.ckpt import load_ckpt
+
+        ckpt = load_ckpt(ckpt_path)
+        as_jnp = partial(jax.tree_util.tree_map, jnp.asarray)
+        self.params = as_jnp(ckpt["params"])
+        if self.moe and "gate_params" in ckpt:
+            self.gate_params = as_jnp(ckpt["gate_params"])
+        self.trainable = self._bundle_params()
+        if "opt_state" in ckpt:
+            flat_new, treedef = jax.tree_util.tree_flatten(
+                self.optimizer.init(self.trainable)
+            )
+            flat_old = jax.tree_util.tree_leaves(as_jnp(ckpt["opt_state"]))
+            if len(flat_old) == len(flat_new):
+                self.opt_state = jax.tree_util.tree_unflatten(
+                    treedef, flat_old
+                )
+        if "model_state" in ckpt:
+            self.model_state = as_jnp(ckpt["model_state"])
+        self.global_step = int(ckpt.get("step", 0))
+        self.logger.info(
+            f"resumed from {ckpt_path} at step {self.global_step}"
+        )
+
+    def save_checkpoint(self, epoch: int):
+        payload = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "model_state": self.model_state,
+            "step": self.global_step,
+            "hparams": vars(self.h),
+        }
+        if self.moe:
+            payload["gate_params"] = self.gate_params
+        save_ckpt(
+            os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt"), payload
+        )
+
+    def export_slim(self, epoch: int):
+        path = os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt")
+        if os.path.exists(path):
+            slim = slim_ckpt(
+                path, save_poses=getattr(self.h, "optimize_ext", False)
+            )
+            save_ckpt(
+                os.path.join(self.ckpt_dir, f"epoch={epoch}_slim.ckpt"),
+                slim,
+            )

@@ -1,0 +1,112 @@
+"""Hash-grid encoder tests: numpy golden (tcnn semantics) + gradient check."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from radnerf_tpu.ops.hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    init_hashgrid_table,
+)
+
+PRIMES = (1, 2654435761, 805459861)
+
+
+def np_hashgrid_encode(table, x, cfg):
+    """Straightforward per-point loop implementing tcnn grid semantics."""
+    L, T, F = table.shape
+    N = x.shape[0]
+    out = np.zeros((N, L * F), np.float32)
+    scales = cfg.level_scales()
+    res = cfg.level_resolutions()
+    dense = cfg.level_is_dense()
+    for l in range(L):
+        pos = x * scales[l] + 0.5
+        pos_i = np.floor(pos).astype(np.int64)
+        frac = pos - pos_i
+        for n in range(N):
+            acc = np.zeros(F, np.float32)
+            for ci in range(8):
+                off = np.array([ci & 1, (ci >> 1) & 1, (ci >> 2) & 1])
+                c = pos_i[n] + off
+                w = np.prod(np.where(off, frac[n], 1 - frac[n]))
+                if dense[l]:
+                    idx = c[0] + res[l] * (c[1] + res[l] * c[2])
+                else:
+                    idx = (
+                        (c[0] * PRIMES[0])
+                        ^ (c[1] * PRIMES[1])
+                        ^ (c[2] * PRIMES[2])
+                    )
+                idx = idx & (T - 1)
+                acc += w * table[l, idx]
+            out[n, l * F : (l + 1) * F] = acc
+    return out
+
+
+def small_cfg():
+    return HashGridConfig(
+        n_levels=4,
+        n_features=2,
+        log2_table_size=8,
+        base_resolution=4,
+        per_level_scale=1.5,
+    )
+
+
+class TestHashGrid:
+    def test_golden(self):
+        cfg = small_cfg()
+        key = jax.random.PRNGKey(0)
+        table = jax.random.normal(
+            key, (cfg.n_levels, cfg.table_size, cfg.n_features)
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+        got = np.asarray(hashgrid_encode(table, x, cfg))
+        want = np_hashgrid_encode(np.asarray(table), np.asarray(x), cfg)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_dense_levels_exist(self):
+        cfg = small_cfg()
+        dense = cfg.level_is_dense()
+        assert dense[0] and not dense[-1]
+
+    def test_grad_scatter_add(self):
+        """d(sum of encoding)/d(table) must equal the trilinear weights
+        scatter-added at the gathered rows (the tcnn backward)."""
+        cfg = small_cfg()
+        table = init_hashgrid_table(jax.random.PRNGKey(2), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(3), (16, 3))
+
+        g = jax.grad(lambda t: hashgrid_encode(t, x, cfg).sum())(table)
+        # finite differences on a few random entries
+        rng = np.random.default_rng(0)
+        f0 = float(hashgrid_encode(table, x, cfg).sum())
+        eps = 1e-3
+        for _ in range(5):
+            l = rng.integers(cfg.n_levels)
+            r = rng.integers(cfg.table_size)
+            f = rng.integers(cfg.n_features)
+            t2 = table.at[l, r, f].add(eps)
+            f1 = float(hashgrid_encode(t2, x, cfg).sum())
+            fd = (f1 - f0) / eps
+            assert abs(fd - float(g[l, r, f])) < 1e-2
+
+    def test_continuity(self):
+        """Trilinear interpolation => encoding is continuous in x."""
+        cfg = small_cfg()
+        table = jax.random.normal(
+            jax.random.PRNGKey(4), (cfg.n_levels, cfg.table_size, cfg.n_features)
+        )
+        x = jnp.asarray([[0.3, 0.5, 0.7]])
+        e0 = hashgrid_encode(table, x, cfg)
+        e1 = hashgrid_encode(table, x + 1e-5, cfg)
+        assert float(jnp.abs(e1 - e0).max()) < 1e-3
+
+    def test_scene_scale_config(self):
+        cfg = HashGridConfig.for_scene_scale(0.5)
+        # finest resolution ~= 2048 * 0.5 = 1024 (networks.py:39)
+        assert abs(cfg.level_scales()[-1] - 1023.0) < 1.0
+        np.testing.assert_allclose(cfg.per_level_scale, 64 ** (1 / 15),
+                                   rtol=1e-6)
