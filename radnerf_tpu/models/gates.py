@@ -52,7 +52,7 @@ def init_point_gate(
     in_dim: int,
     n_experts: int,
     hidden: int = 64,
-    n_hidden: int = 4,
+    n_hidden: int = 2,   # switch_networks.py:303 (2 hidden layers)
 ) -> dict:
     k1, k2 = jax.random.split(key)
     return {
@@ -67,14 +67,15 @@ def _normal_cdf(x):
 
 def _prob_in_top_k(clean, noisy, noise_std, noisy_top, k):
     """P(value stays in top-k under re-noising)
-    (switch_networks.py:321-360, Shazeer'17 eq. 9)."""
-    m = noisy_top.shape[1]
-    top_k_val = noisy_top[:, k - 1 : k]           # kth largest (threshold in)
-    top_k1_val = noisy_top[:, k : k + 1]          # (k+1)th (threshold out)
-    is_in = noisy > top_k_val
-    prob_in = _normal_cdf((clean - top_k_val) / noise_std)
-    prob_out = _normal_cdf((clean - top_k1_val) / noise_std)
-    return jnp.where(is_in, prob_in, prob_out)
+    (switch_networks.py:359-395, Shazeer'17 eq. 9): values currently in the
+    top-k are compared against the (k+1)th noisy value, values outside
+    against the kth."""
+    thr_in = noisy_top[:, k : k + 1]        # (k+1)th largest
+    thr_out = noisy_top[:, k - 1 : k]       # kth largest
+    is_in = noisy > thr_in
+    prob_if_in = _normal_cdf((clean - thr_in) / noise_std)
+    prob_if_out = _normal_cdf((clean - thr_out) / noise_std)
+    return jnp.where(is_in, prob_if_in, prob_if_out)
 
 
 def apply_point_gate(

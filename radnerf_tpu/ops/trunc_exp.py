@@ -18,11 +18,16 @@ def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
 
 def _fwd(x):
     x32 = x.astype(jnp.float32)
-    return jnp.exp(x32), x32
+    # zero-size dtype token: residuals must be JAX types
+    return jnp.exp(x32), (x32, jnp.zeros((0,), x.dtype))
 
 
-def _bwd(x32, g):
-    return (g * jnp.exp(jnp.clip(x32, -15.0, 15.0)),)
+def _bwd(res, g):
+    x32, dtype_token = res
+    grad = g * jnp.exp(jnp.clip(x32, -15.0, 15.0))
+    # cotangent must match the primal dtype (bf16 inputs get bf16 grads,
+    # computed in fp32 first — the custom_bwd AMP behavior)
+    return (grad.astype(dtype_token.dtype),)
 
 
 trunc_exp.defvjp(_fwd, _bwd)

@@ -124,6 +124,9 @@ def get_parser() -> argparse.ArgumentParser:
                      help='sample ray batches on host instead of on device '
                           '(for datasets too large for HBM)')
     tpu.add_argument('--seed', type=int, default=1337)
+    tpu.add_argument('--steps_per_epoch', type=int, default=0,
+                     help='override the 1000 virtual steps/epoch '
+                          '(datasets/base.py:19-21); 0 = reference default')
     return parser
 
 

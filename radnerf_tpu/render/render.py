@@ -89,7 +89,14 @@ def render_train(
 
     xyz = rays_o[:, None, :] + m["ts"][..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
-    sigmas, rgbs = forward_fn(xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+    fwd_out = forward_fn(xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+    # field closures may return per-sample extras (e.g. the switch model's
+    # point-gate results, rendering.py:217-220) as an optional third item
+    extras = None
+    if isinstance(fwd_out, tuple) and len(fwd_out) == 3:
+        sigmas, rgbs, extras = fwd_out
+    else:
+        sigmas, rgbs = fwd_out
     sigmas = sigmas.reshape(N, S)
     rgbs = rgbs.reshape(N, S, 3)
 
@@ -104,6 +111,8 @@ def render_train(
         rm_samples=jnp.sum(m["n_samples"]),
         total_samples=jnp.sum(out["vr_samples"]),
     )
+    if extras is not None:
+        out["gate_results"] = extras
     return out
 
 

@@ -121,6 +121,8 @@ class NeRFSystem:
             split=h.split, **kwargs
         )
         self.train_dataset.batch_size = h.batch_size
+        if getattr(h, "steps_per_epoch", 0):
+            self.train_dataset.STEPS_PER_EPOCH = h.steps_per_epoch
         self.test_dataset = dataset_dict[h.dataset_type](
             split="test", **kwargs
         )

@@ -1,0 +1,173 @@
+"""Integration tests: full trainer systems on a tiny on-disk NSVF scene.
+
+Covers the L6<->L0 seams the unit tests can't: dataset loading, device-side
+batch gather, the shard_map'd train step over the 8-device CPU mesh,
+density-grid updates, validation rendering, checkpoint save/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from .fixtures import make_nsvf_dataset
+
+
+class HP:
+    """Minimal hparams namespace (argparse twin)."""
+
+    def __init__(self, root, **kw):
+        self.root_dir = root
+        self.dataset_type = "nsvf"
+        self.dataset_name = "Synthetic_NeRF"
+        self.scene_name = "TestSphere"
+        self.split = "train"
+        self.downsample = 32 / 800
+        self.scale = 0.5
+        self.hash_table_size = 11
+        self.opacity_loss_w = 1e-3
+        self.distortion_loss_w = 0.0
+        self.disp_loss_w = 0.0
+        self.batch_size = 256
+        self.num_epochs = 1
+        self.warmup_steps = 256
+        self.num_view = 0
+        self.lr = 1e-2
+        self.optimize_ext = False
+        self.random_bg = False
+        self.moe_training = False
+        self.model_zoo_size = 2
+        self.gate_type = "ray"
+        self.model_type = "switch"
+        self.cv_loss_w = 1e-2
+        self.depth_mutual_loss_w = 5e-3
+        self.overlap_ratio = 0.25
+        self.eval_lpips = False
+        self.val_only = False
+        self.no_save_test = True
+        self.exp_name = "test"
+        self.ckpt_path = None
+        self.weight_path = None
+        self.num_devices = 0
+        self.samples_per_ray = 48
+        self.compute_dtype = "float32"
+        self.val_chunk = 1024
+        self.host_sampling = False
+        self.seed = 0
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    return make_nsvf_dataset(str(tmp_path_factory.mktemp("data")))
+
+
+def _shrink(system, steps=8):
+    system.setup()
+    system.train_dataset.STEPS_PER_EPOCH = steps
+    # rebuild the LR schedule against the shrunken epoch
+    system.configure_optimizers()
+    system.build_steps()
+    return system
+
+
+class TestSingleTrainer:
+    def test_fit_and_validate(self, scene_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from radnerf_tpu.train.trainer import NeRFSystem
+
+        system = _shrink(NeRFSystem(HP(scene_root)))
+        # small model for CPU speed
+        system.fit()
+        assert system.global_step == 8
+        m = system.validate(epoch=0)
+        assert m["psnr"] is not None and np.isfinite(m["psnr"])
+        # checkpoint was written and resumes
+        ckpt = os.path.join(system.ckpt_dir, "epoch=0.ckpt")
+        assert os.path.exists(ckpt)
+        system2 = _shrink(NeRFSystem(HP(scene_root)))
+        system2.resume(ckpt)
+        assert system2.global_step == 8
+
+    def test_moe_trainer(self, scene_root, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from radnerf_tpu.train.trainer import NeRFSystem
+
+        system = _shrink(
+            NeRFSystem(HP(scene_root, moe_training=True, model_zoo_size=2))
+        )
+        losses = []
+        h = system.h
+        import jax
+
+        for step in range(6):
+            if step % 16 == 0:
+                system.update_grid(warmup=True)
+            system.key, kb, ks = jax.random.split(system.key, 3)
+            batch = system._shard(system.sample_batch_indices(kb))
+            (system.trainable, system.opt_state, loss, aux) = (
+                system.train_step(
+                    system.trainable, system.opt_state, system.model_state,
+                    batch, system.data, ks,
+                )
+            )
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]  # learning something
+
+
+class TestOtherTrainers:
+    @pytest.mark.parametrize("kind", ["switch", "block"])
+    def test_other_step(self, scene_root, tmp_path, monkeypatch, kind):
+        monkeypatch.chdir(tmp_path)
+        import jax
+
+        from radnerf_tpu.train.other_trainer import OtherNeRFSystem
+
+        system = _shrink(
+            OtherNeRFSystem(
+                HP(scene_root, model_type=kind, model_zoo_size=2)
+            ),
+            steps=4,
+        )
+        system.update_grid(warmup=True)
+        for _ in range(3):
+            system.key, kb, ks = jax.random.split(system.key, 3)
+            batch = system._shard(system.sample_batch_indices(kb))
+            (system.trainable, system.opt_state, loss, aux) = (
+                system.train_step(
+                    system.trainable, system.opt_state, system.model_state,
+                    batch, system.data, ks,
+                )
+            )
+            assert np.isfinite(float(loss))
+
+
+class TestDataParallelEquivalence:
+    def test_grad_matches_single_device(self, scene_root, tmp_path,
+                                        monkeypatch):
+        """Ray-sharded step over 8 devices == same step on 1 device
+        (SURVEY.md §4: host-count invariance)."""
+        monkeypatch.chdir(tmp_path)
+        import jax
+
+        from radnerf_tpu.train.trainer import NeRFSystem
+
+        res = {}
+        for ndev in (1, 8):
+            system = _shrink(
+                NeRFSystem(HP(scene_root, num_devices=ndev, seed=7)),
+                steps=2,
+            )
+            system.update_grid(warmup=True)
+            key = jax.random.PRNGKey(0)
+            batch = system._shard(system.sample_batch_indices(key))
+            step_key = jax.random.PRNGKey(1)
+            (tr, _, loss, _) = system.train_step(
+                system.trainable, system.opt_state, system.model_state,
+                batch, system.data, step_key,
+            )
+            res[ndev] = (float(loss), tr)
+        # NOTE exact equality is not expected: the per-device RNG fold-in
+        # gives different ray jitters; losses must be close in expectation.
+        assert abs(res[1][0] - res[8][0]) / abs(res[1][0]) < 0.5
