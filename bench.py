@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--experts", type=int, default=2)
     ap.add_argument("--samples_per_ray", type=int, default=192)
+    ap.add_argument("--layout", type=str, default="flat",
+                    choices=["dense", "flat"])
+    ap.add_argument("--budget_per_ray", type=int, default=48)
+    ap.add_argument("--hash_impl", type=str, default="auto")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--log2_T", type=int, default=19)
@@ -63,8 +67,13 @@ def main():
         log2_T=args.log2_T,
         n_experts=args.experts,
         compute_dtype="bfloat16",
+        hash_impl=args.hash_impl,
     )
-    rcfg = RenderConfig(samples_per_ray=args.samples_per_ray)
+    rcfg = RenderConfig(
+        samples_per_ray=args.samples_per_ray,
+        layout=args.layout,
+        budget_per_ray=args.budget_per_ray,
+    )
     key = jax.random.PRNGKey(0)
     params = init_mngp(key, cfg)
     gate_params = init_ray_gate(jax.random.PRNGKey(1), cfg.n_experts)

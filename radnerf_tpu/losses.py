@@ -41,7 +41,22 @@ def nerf_loss(
 
     if lambda_distortion > 0 and "ws" in results:
         ws = results["ws"]
-        if ws.ndim == 3:  # (K, N, S) per-expert from the MoE renderer
+        if "ray_id" in results:  # flat (static-CSR) layout
+            from .ops.distortion import distortion_loss_flat
+
+            args = (
+                ws, results["deltas"], results["ts"], results["ray_id"],
+                results["offsets"], results["cap"], results["valid"],
+            )
+            if ws.ndim == 2:  # (K, B) per-expert stacks
+                loss["distortion"] = lambda_distortion * jnp.mean(
+                    jax.vmap(distortion_loss_flat)(*args), axis=0
+                )
+            else:
+                loss["distortion"] = lambda_distortion * (
+                    distortion_loss_flat(*args)
+                )
+        elif ws.ndim == 3:  # (K, N, S) per-expert from the MoE renderer
             per_expert = jax.vmap(distortion_loss)(
                 ws, results["deltas"], results["ts"], results["valid"]
             )

@@ -14,7 +14,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..ops.hashgrid import hashgrid_encode, init_hashgrid_table
+from ..ops.hashgrid import encode_dispatch, init_hashgrid_table
 from ..ops.sh import sh_encode_dir
 from ..ops.trunc_exp import trunc_exp
 from .mlp import apply_mlp, init_mlp, init_stacked_mlp, slice_stacked
@@ -51,8 +51,8 @@ def block_density(
     """Shared density (block_networks.py:132-148)."""
     xn = (x - state["xyz_min"]) / (state["xyz_max"] - state["xyz_min"])
     xn = jnp.clip(xn, 0.0, 1.0)
-    feat = hashgrid_encode(
-        params["hash_table"], xn, cfg.hash, compute_dtype=cfg.cdtype
+    feat = encode_dispatch(
+        params["hash_table"], xn, cfg.hash, cfg.cdtype, cfg.hash_impl
     )
     h = apply_mlp(params["geo"], feat, compute_dtype=cfg.cdtype)
     sigmas = trunc_exp(h[:, 0])

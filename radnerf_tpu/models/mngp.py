@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hashgrid import hashgrid_encode, init_hashgrid_table
+from ..ops.hashgrid import encode_dispatch, init_hashgrid_table
 from ..ops.sh import sh_encode_dir
 from ..ops.trunc_exp import trunc_exp
 from .mlp import apply_mlp, init_stacked_mlp, slice_stacked
@@ -79,7 +79,7 @@ def _encode(params, state, cfg: MNGPConfig, x: jnp.ndarray, ind=None):
     table = params["hash_table"]
     if not cfg.shared_encoder:
         table = table[ind]
-    return hashgrid_encode(table, xn, cfg.hash, compute_dtype=cfg.cdtype)
+    return encode_dispatch(table, xn, cfg.hash, cfg.cdtype, cfg.hash_impl)
 
 
 def mngp_density_expert(
@@ -130,7 +130,7 @@ def mngp_forward_all(
         h = jax.vmap(
             lambda t, p: apply_mlp(
                 p,
-                hashgrid_encode(
+                encode_dispatch(
                     t,
                     jnp.clip(
                         (x - state["xyz_min"])
@@ -139,7 +139,8 @@ def mngp_forward_all(
                         1.0,
                     ),
                     cfg.hash,
-                    compute_dtype=cfg.cdtype,
+                    cfg.cdtype,
+                    cfg.hash_impl,
                 ),
                 compute_dtype=cfg.cdtype,
             )
@@ -164,7 +165,7 @@ def expert_forward_fn(table, geo_p, rgb_p, state, cfg: MNGPConfig):
     def fwd(x, d):
         xn = (x - state["xyz_min"]) / (state["xyz_max"] - state["xyz_min"])
         xn = jnp.clip(xn, 0.0, 1.0)
-        feat = hashgrid_encode(table, xn, cfg.hash, compute_dtype=cfg.cdtype)
+        feat = encode_dispatch(table, xn, cfg.hash, cfg.cdtype, cfg.hash_impl)
         h = apply_mlp(geo_p, feat, compute_dtype=cfg.cdtype)
         sigmas = trunc_exp(h[:, 0])
         d_enc = sh_encode_dir(d, cfg.sh_degree).astype(cfg.cdtype)

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..ops.hashgrid import (
     HashGridConfig,
-    hashgrid_encode,
+    encode_dispatch,
     init_hashgrid_table,
 )
 from ..ops.sh import sh_encode_dir
@@ -49,6 +49,7 @@ class NGPConfig:
     rgb_layers: int = 2           # hidden layers in rgb_net (networks.py:87)
     sh_degree: int = 4
     compute_dtype: str = "float32"
+    hash_impl: str = "auto"   # xla | pallas | auto (pallas on TPU)
 
     @property
     def cascades(self) -> int:
@@ -125,8 +126,8 @@ def ngp_density(
     """sigma(x) (networks.py:91-108). x: (N, 3) in world coords."""
     xn = (x - state["xyz_min"]) / (state["xyz_max"] - state["xyz_min"])
     xn = jnp.clip(xn, 0.0, 1.0)
-    feat = hashgrid_encode(
-        params["hash_table"], xn, cfg.hash, compute_dtype=cfg.cdtype
+    feat = encode_dispatch(
+        params["hash_table"], xn, cfg.hash, cfg.cdtype, cfg.hash_impl
     )
     h = apply_mlp(params["geo"], feat, compute_dtype=cfg.cdtype)
     sigmas = trunc_exp(h[:, 0])

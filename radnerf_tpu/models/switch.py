@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hashgrid import hashgrid_encode, init_hashgrid_table
+from ..ops.hashgrid import encode_dispatch, init_hashgrid_table
 from ..ops.sh import sh_encode_dir
 from ..ops.trunc_exp import trunc_exp
 from .gates import apply_point_gate, init_point_gate
@@ -67,8 +67,8 @@ def switch_density(
     (switch_networks.py:118-142)."""
     xn = (x - state["xyz_min"]) / (state["xyz_max"] - state["xyz_min"])
     xn = jnp.clip(xn, 0.0, 1.0)
-    feat = hashgrid_encode(
-        params["hash_table"], xn, cfg.hash, compute_dtype=cfg.cdtype
+    feat = encode_dispatch(
+        params["hash_table"], xn, cfg.hash, cfg.cdtype, cfg.hash_impl
     )
     gate, load, top_idx = apply_point_gate(
         params["gate"], feat, key, k=cfg.num_topk, train=train,

@@ -21,6 +21,7 @@ counterpart of the reference's ragged CSR layout.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -82,6 +83,84 @@ def composite_train(
     depth = jnp.sum(w * ts, axis=-1)
     rgb = jnp.sum(w[..., None] * rgbs, axis=-2)
     vr_samples = jnp.sum((w > 0).astype(jnp.int32), axis=-1)
+    return {
+        "opacity": opacity,
+        "depth": depth,
+        "rgb": rgb,
+        "ws": w,
+        "vr_samples": vr_samples,
+    }
+
+
+def segmented_cumsum(v: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative sum that resets at segment starts.
+
+    Exact within-segment sums (no giant-prefix cancellation) via an
+    associative segmented-scan operator — log2(B) vectorized passes.
+    v: (B,) or (B, C); seg_start: (B,) bool.
+    """
+    flags = seg_start
+    if v.ndim > 1:
+        flags = seg_start[:, None]
+
+    def combine(x, y):
+        (va, fa), (vb, fb) = x, y
+        return (jnp.where(fb, vb, va + vb), fa | fb)
+
+    out, _ = jax.lax.associative_scan(
+        combine, (v, jnp.broadcast_to(flags, v.shape))
+    )
+    return out
+
+
+def composite_train_flat(
+    sigmas: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    deltas: jnp.ndarray,
+    ts: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    offsets: jnp.ndarray,
+    cap: jnp.ndarray,
+    valid: jnp.ndarray,
+    T_threshold: float = 1e-4,
+) -> dict:
+    """Compositing on the flat (static-CSR) sample layout.
+
+    Same math as :func:`composite_train`, with per-ray transmittance and
+    outputs computed by segmented scans over the sorted-by-ray buffer —
+    the direct TPU analogue of the reference's CSR kernels
+    (volumerendering.cu:6-84), with zero padding waste and no scatters
+    (per-ray sums read the segmented cumsum at each segment's end).
+    """
+    B = sigmas.shape[0]
+    N = offsets.shape[0]
+    seg_start = jnp.arange(B, dtype=jnp.int32) == jnp.take(
+        offsets, ray_id
+    )
+    sd = jnp.where(valid, sigmas * deltas, 0.0)
+    within_incl = segmented_cumsum(sd, seg_start)
+    t_excl = jnp.exp(-(within_incl - sd))
+    alpha = 1.0 - jnp.exp(-sd)
+    alive = t_excl > T_threshold
+    w = alpha * t_excl * alive
+
+    # rays fully pushed past the buffer end (min-1-cap overflow) contribute
+    # nothing; partially truncated rays read the segmented cumsum at B-1,
+    # i.e. the sum of the samples that fit — exactly buffer-end truncation.
+    present = (cap > 0) & (offsets < B)
+    ends = jnp.minimum(jnp.where(present, offsets + cap - 1, 0), B - 1)
+
+    def seg_sum(v):
+        cs = segmented_cumsum(v, seg_start)
+        out = jnp.take(cs, ends, axis=0)
+        return jnp.where(
+            present if v.ndim == 1 else present[:, None], out, 0.0
+        )
+
+    opacity = seg_sum(w)
+    depth = seg_sum(w * ts)
+    rgb = seg_sum(w[:, None] * rgbs)
+    vr_samples = seg_sum((w > 0).astype(jnp.float32)).astype(jnp.int32)
     return {
         "opacity": opacity,
         "depth": depth,

@@ -40,3 +40,33 @@ def distortion_loss(
         w * w * deltas / 3.0
     )
     return jnp.sum(jnp.where(valid, per_sample, 0.0), axis=-1)
+
+
+def distortion_loss_flat(
+    ws: jnp.ndarray,
+    deltas: jnp.ndarray,
+    ts: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    offsets: jnp.ndarray,
+    cap: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Distortion loss on the flat (static-CSR) layout — per-ray segmented
+    scans, same math as :func:`distortion_loss`."""
+    from .compositing import segmented_cumsum
+
+    B = ws.shape[0]
+    seg_start = jnp.arange(B, dtype=jnp.int32) == jnp.take(offsets, ray_id)
+    w = jnp.where(valid, ws, 0.0)
+    wt = w * ts
+    ws_incl = segmented_cumsum(w, seg_start)
+    wts_incl = segmented_cumsum(wt, seg_start)
+    per_sample = 2.0 * (
+        wts_incl * (ws_incl - w) - ws_incl * (wts_incl - wt)
+    ) + (w * w * deltas / 3.0)
+    loss_cum = segmented_cumsum(
+        jnp.where(valid, per_sample, 0.0), seg_start
+    )
+    present = (cap > 0) & (offsets < B)
+    ends = jnp.minimum(jnp.where(present, offsets + cap - 1, 0), B - 1)
+    return jnp.where(present, jnp.take(loss_cum, ends), 0.0)

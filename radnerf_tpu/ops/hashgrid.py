@@ -184,3 +184,26 @@ def hashgrid_encode(
     out = jnp.sum(w[..., None].astype(compute_dtype) * feats, axis=2)
     # (L, N, F) -> (N, L*F) level-major.
     return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], L * F)
+
+
+def encode_dispatch(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    compute_dtype=jnp.float32,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Pick the encode implementation: 'xla' (autodiff scatter backward),
+    'pallas' (custom-VJP Pallas table gradient), or 'auto' (pallas on TPU,
+    xla elsewhere — XLA's scatter-add serializes on TPU, ~90% of a training
+    step)."""
+    if impl == "auto":
+        import jax
+
+        # TPU backends register as 'tpu' or (via the axon relay) 'axon'
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if impl == "pallas":
+        from .hashgrid_pallas import hashgrid_encode_fused
+
+        return hashgrid_encode_fused(table, x, cfg, compute_dtype)
+    return hashgrid_encode(table, x, cfg, compute_dtype)

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel for the hash-grid table gradient (the training
+bottleneck).
+
+Why: XLA lowers the gather-VJP to an element-serialized scatter-add
+(~12.5M updates/s measured on v5e — 2.7 s for one 8192-ray batch, 87% of
+the whole training step). TPU has no atomics and lane-dynamic addressing
+is not vectorizable, so the kernel reformulates each update as a *2-hot
+masked row add* at a dynamic SUBLANE address, which Mosaic vectorizes:
+
+  flat position of (row r, feature f) = 2r + f
+  accumulator slab per level: (T*F/128, 128) fp32 in VMEM (4 MB at T=2^19)
+  update (r, g0, g1):  acc[(2r)//128, :] += 2hot((2r)%128; g0, g1)
+
+Grid = (levels, point-tiles); the accumulator block index only depends on
+the level, so Pallas keeps it VMEM-resident across point-tiles (standard
+revisiting/accumulation pattern) and writes it back once per level.
+
+The fused custom-VJP encode (`hashgrid_encode_fused`) recomputes indices/
+weights in the backward (cheap VPU math) instead of saving the (L, N, 8)
+residuals — rematerialization over memory, the usual TPU trade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    hashgrid_indices,
+)
+
+LANES = 128
+
+
+def _grad_kernel(idx_ref, wg0_ref, wg1_ref, out_ref, *, tile: int):
+    """Accumulate one (level, point-tile) block of table-gradient updates.
+
+    idx_ref:  (1, tile, 8) int32 corner rows (points on the sublane axis:
+              scalar loads may be dynamic on sublanes, not lanes).
+    wg0_ref/wg1_ref: (1, tile, 8) f32 — w[corner]*g[feature 0/1].
+    out_ref:  (1, T*F//128, 128) f32 accumulator slab for this level.
+
+    Per point, the 8 corner updates are materialized as ONE (8, 128)
+    two-hot block with full-width VPU ops (a pair-mask compare selects the
+    even/odd lane pair holding the F=2 features), then applied with 8
+    dynamic-sublane row RMWs — the only part TPU forces to be serial.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    pair = lane >> 1   # hoisted: lane-pair id per column
+    odd = (lane & 1) == 1
+
+    def body(i, _):
+        for c in range(8):  # unrolled corner loop; all loads are scalar
+            r = idx_ref[0, i, c]
+            row = r >> 6            # (2r) // 128
+            colpair = r & 63        # (2r) % 128 >> 1
+            g0 = wg0_ref[0, i, c]
+            g1 = wg1_ref[0, i, c]
+            g01 = jnp.where(odd, g1, g0)
+            vec = jnp.where(pair == colpair, g01, 0.0)
+            out_ref[0, row, :] = out_ref[0, row, :] + vec[0]
+        return 0
+
+    jax.lax.fori_loop(0, tile, body, 0)
+
+
+def hashgrid_table_grad(
+    idx: jnp.ndarray,
+    w: jnp.ndarray,
+    g: jnp.ndarray,
+    cfg: HashGridConfig,
+    tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dL/dtable from gathered-corner cotangents.
+
+    Args:
+        idx: (L, N, 8) int32 table rows per level/point/corner.
+        w:   (L, N, 8) f32 trilinear weights.
+        g:   (N, L*F) cotangent of the encoding output (level-major).
+    Returns:
+        (L, T, F) f32 table gradient.
+    """
+    L, N, _ = idx.shape
+    T, F = cfg.table_size, cfg.n_features
+    assert F == 2, "kernel packs F=2 features per row pair"
+    # pad N to a tile multiple with zero-weight updates aimed at row 0
+    pad = (-N) % tile
+    if pad:
+        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    n_pad = N + pad
+
+    # per-level cotangents (L, N, F) and per-corner products (L, n_pad, 8)
+    g_lvl = g.reshape(n_pad, L, F).transpose(1, 0, 2).astype(jnp.float32)
+    w32 = w.astype(jnp.float32)
+    wg0 = w32 * g_lvl[:, :, 0:1]
+    wg1 = w32 * g_lvl[:, :, 1:2]
+
+    slab = pl.pallas_call(
+        functools.partial(_grad_kernel, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((L, T * F // LANES, LANES),
+                                       jnp.float32),
+        grid=(L, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 8), lambda l, p: (l, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda l, p: (l, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 8), lambda l, p: (l, p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T * F // LANES, LANES), lambda l, p: (l, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(idx, wg0, wg1)
+    return slab.reshape(L, T, F)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused(cfg: HashGridConfig, compute_dtype_name: str,
+                interpret: bool):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+
+    @jax.custom_vjp
+    def fused(table, x):
+        return hashgrid_encode(table, x, cfg, compute_dtype)
+
+    def fwd(table, x):
+        out = hashgrid_encode(table, x, cfg, compute_dtype)
+        # zero-size dtype token (residuals must be JAX types)
+        return out, (x, jnp.zeros((0,), table.dtype))
+
+    def bwd(res, g):
+        x, dtype_token = res
+        idx, w = hashgrid_indices(x, cfg)  # rematerialized, cheap VPU math
+        dtable = hashgrid_table_grad(
+            idx, w, g.astype(jnp.float32), cfg, interpret=interpret
+        )
+        return dtable.astype(dtype_token.dtype), jnp.zeros_like(x)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def hashgrid_encode_fused(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """hashgrid_encode with the Pallas table-gradient backward.
+
+    Forward identical to ops.hashgrid.hashgrid_encode (XLA gather);
+    backward uses `hashgrid_table_grad`. No gradient flows to x (ray
+    origins/dirs are leaves in this framework, matching the unused
+    RayMarcher position-gradient path of the reference —
+    custom_functions.py:102-112)."""
+    return _make_fused(cfg, jnp.dtype(compute_dtype).name, interpret)(
+        table, x
+    )

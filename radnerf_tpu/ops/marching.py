@@ -186,25 +186,119 @@ def march_rays_train(
     occ = occupancy_lookup(xyz, dt, occ_grid, cfg)
     keep = in_range & occ
 
+    ts, deltas, valid, n_samples = _compact_keep(t, dt, keep, S)
+    return {"ts": ts, "deltas": deltas, "valid": valid, "n_samples": n_samples}
+
+
+def _compact_keep(t, dt, keep, S):
+    """Compact the first S kept candidates per ray into dense (N, S) slots.
+
+    Scatter-free: XLA serializes scatter on TPU (~12M updates/s), so the
+    compaction is formulated as a per-row binary search instead — slot s of
+    ray r holds candidate k(r, s) = searchsorted(cumsum(keep)[r], s+1),
+    which lowers to log2(K) vectorized gathers."""
+    N, K = keep.shape
     within = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # inclusive count
-    slot = within - 1
-    write = keep & (slot < S)
-    ray_id = jnp.arange(N, dtype=jnp.int32)[:, None]
-    dst = jnp.where(write, ray_id * S + slot, N * S)  # OOB rows get dropped
-
-    def scatter(vals):
-        return (
-            jnp.zeros((N * S,), vals.dtype)
-            .at[dst.reshape(-1)]
-            .set(vals.reshape(-1), mode="drop")
-            .reshape(N, S)
-        )
-
-    ts = scatter(t)
-    deltas = scatter(dt)
+    targets = jnp.arange(1, S + 1, dtype=jnp.int32)
+    k_idx = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets, side="left")
+    )(within)
+    k_idx = jnp.minimum(k_idx, K - 1)
     n_samples = jnp.minimum(within[:, -1], S)
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
-    return {"ts": ts, "deltas": deltas, "valid": valid, "n_samples": n_samples}
+    ts = jnp.where(valid, jnp.take_along_axis(t, k_idx, axis=1), 0.0)
+    deltas = jnp.where(valid, jnp.take_along_axis(dt, k_idx, axis=1), 0.0)
+    return ts, deltas, valid, n_samples
+
+
+def march_rays_train_flat(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t1: jnp.ndarray,
+    t2: jnp.ndarray,
+    occ_grid: jnp.ndarray,
+    cfg: MarchConfig,
+    noise: jnp.ndarray | None = None,
+    budget_per_ray: int = 64,
+) -> dict:
+    """Training-time marching into a FLAT sample buffer (static CSR).
+
+    The dense (N, S) layout wastes field evaluations on padding (rays have
+    wildly different occupied-sample counts). This variant reproduces the
+    reference's compacted CSR layout (`rays_a`, custom_functions.py:91-96)
+    with a STATIC total budget B = N * budget_per_ray:
+
+      - per-ray occupied count n_r (capped at cfg.samples_per_ray);
+      - if sum(n_r) > B, every ray keeps floor(n_r * B / total) samples
+        (front-truncated, matching the reference's max_samples truncation);
+      - samples live in one (B,) buffer, rays contiguous (sorted ray_id),
+        addressed by offsets/cap — scatter-free via per-slot binary search.
+
+    Returns dict: ts/deltas/ray_id/valid (B,), offsets/n_samples (N,).
+    """
+    N = rays_o.shape[0]
+    K = cfg.k_candidates
+    B = N * budget_per_ray
+
+    t1 = t1.astype(jnp.float32)
+    if noise is not None:
+        t1 = jnp.where(t1 >= 0, t1 + calc_dt(t1, cfg) * noise, t1)
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    t = sample_lattice(t1[:, None], k, cfg)
+    dt = calc_dt(t, cfg)
+    in_range = (t1[:, None] >= 0) & (t >= 0) & (t < t2[:, None])
+    xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+    keep = in_range & occupancy_lookup(xyz, dt, occ_grid, cfg)
+
+    within = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    n_r = jnp.minimum(within[:, -1], cfg.samples_per_ray)
+    total = jnp.sum(n_r)
+    # proportional fair caps under the global budget; rays that hit keep at
+    # least 1 sample (the bounded overflow is absorbed by truncating the
+    # very end of the buffer — `ends` below is clipped to B-1)
+    floor_cap = (
+        n_r.astype(jnp.int64) * B // jnp.maximum(total, 1)
+    ).astype(jnp.int32)
+    cap = jnp.where(
+        total <= B, n_r, jnp.minimum(n_r, jnp.maximum(floor_cap, 1))
+    )
+    bounds = jnp.cumsum(cap)  # inclusive ends
+    offsets = bounds - cap
+    total_c = jnp.minimum(bounds[-1], B)
+
+    j = jnp.arange(B, dtype=jnp.int32)
+    ray_id = jnp.searchsorted(bounds, j, side="right").astype(jnp.int32)
+    ray_id = jnp.minimum(ray_id, N - 1)
+    valid = j < total_c
+    within_idx = j - offsets[ray_id]  # rank within the ray's kept samples
+
+    # per-slot binary search over this ray's cumulative-keep row:
+    # find smallest k with within[ray, k] >= within_idx + 1
+    target = within_idx + 1
+    lo = jnp.zeros((B,), jnp.int32)
+    hi = jnp.full((B,), K, jnp.int32)
+    flat_within = within.reshape(-1)
+    for _ in range(K.bit_length()):
+        mid = (lo + hi) // 2
+        v = jnp.take(flat_within, ray_id * K + jnp.minimum(mid, K - 1))
+        go_right = v < target
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    k_sel = jnp.minimum(lo, K - 1)
+
+    flat = ray_id * K + k_sel
+    ts = jnp.where(valid, jnp.take(t.reshape(-1), flat), 0.0)
+    deltas = jnp.where(valid, jnp.take(dt.reshape(-1), flat), 0.0)
+    return {
+        "ts": ts,
+        "deltas": deltas,
+        "ray_id": ray_id,
+        "valid": valid,
+        "offsets": offsets,
+        "cap": cap,
+        "n_samples": cap,
+        "total": total_c,
+    }
 
 
 def march_rays_test_block(
@@ -244,24 +338,8 @@ def march_rays_test_block(
     occ = occupancy_lookup(xyz, dt, occ_grid, cfg)
     keep = in_range & occ
 
+    ts, deltas, valid, got = _compact_keep(t, dt, keep, S)
     within = jnp.cumsum(keep.astype(jnp.int32), axis=1)
-    slot = within - 1
-    write = keep & (slot < S)
-    ray_id = jnp.arange(N, dtype=jnp.int32)[:, None]
-    dst = jnp.where(write, ray_id * S + slot, N * S)
-
-    def scatter(vals):
-        return (
-            jnp.zeros((N * S,), vals.dtype)
-            .at[dst.reshape(-1)]
-            .set(vals.reshape(-1), mode="drop")
-            .reshape(N, S)
-        )
-
-    ts = scatter(t)
-    deltas = scatter(dt)
-    got = jnp.minimum(within[:, -1], S)
-    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < got[:, None]
 
     # Cursor: lattice index right after the S-th occupied candidate, or K if
     # the block was exhausted. t at that index is the next start.

@@ -149,9 +149,21 @@ def moe_render_train(
             forward_fn=fwd,
         )
 
-    res = jax.vmap(render_one)(
-        zoo_params["hash_table"], zoo_params["geo"], zoo_params["rgb"],
-        zoo_state["occ"], keys,
+    from ..models.mlp import slice_stacked
+    from .ml_render import _stack_results
+
+    # unrolled expert loop (the Pallas hash-grid backward can't be vmapped)
+    res = _stack_results(
+        [
+            render_one(
+                zoo_params["hash_table"][k],
+                slice_stacked(zoo_params["geo"], k),
+                slice_stacked(zoo_params["rgb"], k),
+                zoo_state["occ"][k],
+                keys[k],
+            )
+            for k in range(K)
+        ]
     )
     return {
         "rgb": jnp.einsum("nk,knc->nc", gate, res["rgb"]),

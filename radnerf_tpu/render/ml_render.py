@@ -21,8 +21,16 @@ import jax
 import jax.numpy as jnp
 
 from ..models.gates import apply_ray_gate
+from ..models.mlp import slice_stacked
 from ..models.mngp import MNGPConfig, expert_forward_fn
 from .render import RenderConfig, render_test, render_train
+
+
+def _stack_results(results: list) -> dict:
+    """Stack a list of per-expert result dicts on a leading (K, ...) axis."""
+    return {
+        k: jnp.stack([r[k] for r in results]) for k in results[0]
+    }
 
 
 def _gate_input(rays_o, rays_d, imgs_d, gate_type: str) -> jnp.ndarray:
@@ -60,16 +68,22 @@ def ml_render_train(
             forward_fn=fwd,
         )
 
-    table = params["hash_table"]
-    if cfg.shared_encoder:
-        # broadcast the shared table across the expert vmap axis
-        res = jax.vmap(
-            lambda g, r, o, k: render_one(g, r, table, o, k)
-        )(params["geo"], params["rgb"], state["occ"], keys)
-    else:
-        res = jax.vmap(render_one)(
-            params["geo"], params["rgb"], table, state["occ"], keys
-        )
+    # statically-unrolled expert loop (K is 2-5). A vmap would be prettier,
+    # but the Pallas hash-grid backward cannot be batched (Mosaic rejects
+    # the extra dim), and XLA parallelizes the unrolled branches anyway.
+    res = _stack_results(
+        [
+            render_one(
+                slice_stacked(params["geo"], k),
+                slice_stacked(params["rgb"], k),
+                params["hash_table"]
+                if cfg.shared_encoder else params["hash_table"][k],
+                state["occ"][k],
+                keys[k],
+            )
+            for k in range(K)
+        ]
+    )
 
     rgb = jnp.einsum("nk,knc->nc", gate, res["rgb"])
     opacity = jnp.einsum("nk,kn->n", gate, res["opacity"])
@@ -114,15 +128,18 @@ def ml_render_test(
             None, sub_state, cfg, rays_o, rays_d, rcfg, forward_fn=fwd
         )
 
-    table = params["hash_table"]
-    if cfg.shared_encoder:
-        res = jax.vmap(
-            lambda g, r, o: render_one(g, r, table, o)
-        )(params["geo"], params["rgb"], state["occ"])
-    else:
-        res = jax.vmap(render_one)(
-            params["geo"], params["rgb"], table, state["occ"]
-        )
+    res = _stack_results(
+        [
+            render_one(
+                slice_stacked(params["geo"], k),
+                slice_stacked(params["rgb"], k),
+                params["hash_table"]
+                if cfg.shared_encoder else params["hash_table"][k],
+                state["occ"][k],
+            )
+            for k in range(cfg.n_experts)
+        ]
+    )
 
     rgb = jnp.einsum("nk,knc->nc", gate, res["rgb"])
     opacity = jnp.einsum("nk,kn->n", gate, res["opacity"])

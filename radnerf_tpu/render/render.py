@@ -16,9 +16,18 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.compositing import composite_test_block, composite_train
+from ..ops.compositing import (
+    composite_test_block,
+    composite_train,
+    composite_train_flat,
+)
 from ..ops.intersection import scene_near_far
-from ..ops.marching import MarchConfig, march_rays_test_block, march_rays_train
+from ..ops.marching import (
+    MarchConfig,
+    march_rays_test_block,
+    march_rays_train,
+    march_rays_train_flat,
+)
 from ..models.ngp import NGPConfig, ngp_forward, scene_center_half
 
 MAX_SAMPLES = 1024
@@ -31,11 +40,13 @@ class RenderConfig:
 
     exp_step_factor: float = 0.0       # 1/256 when scale > 0.5 (train_ml.py:101-102)
     T_threshold: float = 1e-4
-    samples_per_ray: int = 192         # S: static replacement for ragged CSR
+    samples_per_ray: int = 192         # S: per-ray occupied-sample cap
     max_samples: int = MAX_SAMPLES
     random_bg: bool = False
     test_block_samples: int = 64       # samples per while-loop iteration
     test_k_block: int = 256            # lattice candidates examined per iter
+    layout: str = "dense"              # "dense" (N, S) | "flat" static CSR
+    budget_per_ray: int = 64           # flat layout: B = N * budget_per_ray
 
     def march(self, cfg: NGPConfig) -> MarchConfig:
         return MarchConfig(
@@ -84,6 +95,11 @@ def render_train(
     t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
     mcfg = rcfg.march(cfg)
     noise = jax.random.uniform(k_noise, (N,))
+    if rcfg.layout == "flat":
+        return _render_train_flat(
+            forward_fn, rays_o, rays_d, t1, t2, state["occ"], mcfg, rcfg,
+            noise, k_bg,
+        )
     m = march_rays_train(rays_o, rays_d, t1, t2, state["occ"], mcfg, noise)
     S = mcfg.samples_per_ray
 
@@ -109,6 +125,44 @@ def render_train(
         ts=m["ts"], deltas=m["deltas"], valid=m["valid"],
         n_samples=m["n_samples"],
         rm_samples=jnp.sum(m["n_samples"]),
+        total_samples=jnp.sum(out["vr_samples"]),
+    )
+    if extras is not None:
+        out["gate_results"] = extras
+    return out
+
+
+def _render_train_flat(
+    forward_fn, rays_o, rays_d, t1, t2, occ, mcfg, rcfg, noise, k_bg
+) -> dict:
+    """Flat-layout training render: zero padding waste — every field
+    evaluation is a real occupied sample (the TPU twin of the reference's
+    compacted CSR pipeline, rendering.py:192-239)."""
+    m = march_rays_train_flat(
+        rays_o, rays_d, t1, t2, occ, mcfg, noise,
+        budget_per_ray=rcfg.budget_per_ray,
+    )
+    rid = m["ray_id"]
+    o = jnp.take(rays_o, rid, axis=0)
+    d = jnp.take(rays_d, rid, axis=0)
+    xyz = o + m["ts"][:, None] * d
+    fwd_out = forward_fn(xyz, d)
+    extras = None
+    if isinstance(fwd_out, tuple) and len(fwd_out) == 3:
+        sigmas, rgbs, extras = fwd_out
+    else:
+        sigmas, rgbs = fwd_out
+    out = composite_train_flat(
+        sigmas, rgbs, m["deltas"], m["ts"], rid, m["offsets"], m["cap"],
+        m["valid"], rcfg.T_threshold,
+    )
+    rgb_bg = background_color(rcfg, k_bg)
+    out["rgb"] = out["rgb"] + rgb_bg * (1.0 - out["opacity"])[:, None]
+    out.update(
+        ts=m["ts"], deltas=m["deltas"], valid=m["valid"],
+        ray_id=rid, offsets=m["offsets"], cap=m["cap"],
+        n_samples=m["n_samples"],
+        rm_samples=m["total"],
         total_samples=jnp.sum(out["vr_samples"]),
     )
     if extras is not None:
