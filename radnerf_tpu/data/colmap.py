@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from .base import BaseDataset
-from .color_utils import read_image
+from .color_utils import read_image, read_images
 from .colmap_utils import (
     read_cameras_binary,
     read_images_binary,
@@ -167,8 +167,5 @@ class ColmapDataset(BaseDataset):
             img_paths = [img_paths[i] for i in index]
             self.poses = self.poses[index]
 
-        rays = [
-            read_image(p, self.img_wh, blend_a=False) for p in img_paths
-        ]
-        self.rays = np.stack(rays).astype(np.float32)
+        self.rays = read_images(img_paths, self.img_wh, blend_a=False)
         self.poses = self.poses.astype(np.float32)

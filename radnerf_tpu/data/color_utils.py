@@ -49,6 +49,26 @@ def read_image(
     return img.reshape(-1, 3)
 
 
+def read_images(
+    paths: list[str],
+    img_wh: tuple[int, int],
+    blend_a: bool = True,
+    unpad: int = 0,
+) -> np.ndarray:
+    """Batch image load: native threaded C++ decoder (native/radnerf_io.cpp)
+    when available, Python per-image fallback otherwise.
+
+    Returns (n, W*H, 3) float32 in [0, 1]."""
+    from .native import load_images
+
+    out = load_images(paths, img_wh, blend_a=blend_a, unpad=unpad)
+    if out is not None:
+        return out
+    return np.stack(
+        [read_image(p, img_wh, blend_a=blend_a, unpad=unpad) for p in paths]
+    ).astype(np.float32)
+
+
 def depth2img(depth: np.ndarray) -> np.ndarray:
     """Turbo-colormapped depth visualization (train.py:48-53)."""
     import cv2

@@ -14,7 +14,7 @@ import os
 import numpy as np
 
 from .base import BaseDataset
-from .color_utils import read_image
+from .color_utils import read_image, read_images
 from .ray_utils import get_ray_directions
 
 
@@ -103,12 +103,10 @@ class NSVFDataset(BaseDataset):
             pose_paths = sorted(
                 glob.glob(os.path.join(self.root_dir, "pose", prefix + "*.txt"))
             )
-            for img_path, pose_path in zip(img_paths, pose_paths):
+            for pose_path in pose_paths:
                 poses.append(self._norm_pose(np.loadtxt(pose_path)[:3]))
-                img = read_image(img_path, self.img_wh)
-                if "Jade" in self.root_dir or "Fountain" in self.root_dir:
-                    # black background -> white (nsvf.py:92-94)
-                    img[np.all(img <= 0.1, axis=-1)] = 1.0
-                rays.append(img)
-            self.rays = np.stack(rays).astype(np.float32)
+            self.rays = read_images(img_paths, self.img_wh)
+            if "Jade" in self.root_dir or "Fountain" in self.root_dir:
+                # black background -> white (nsvf.py:92-94)
+                self.rays[np.all(self.rays <= 0.1, axis=-1)] = 1.0
         self.poses = np.stack(poses).astype(np.float32)

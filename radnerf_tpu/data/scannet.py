@@ -10,7 +10,7 @@ import os
 import numpy as np
 
 from .base import BaseDataset
-from .color_utils import read_image
+from .color_utils import read_image, read_images
 from .geometry import inter_poses
 from .ray_utils import get_ray_directions
 
@@ -42,16 +42,13 @@ class ScanNetDataset(BaseDataset):
         all_pose_paths = sorted(
             glob.glob(os.path.join(self.root_dir, "poses", "*.txt"))
         )
-        poses, rays, img_paths = [], [], []
+        poses, img_paths = [], []
         for img_path, pose_path in zip(all_img_paths, all_pose_paths):
             c2w = np.loadtxt(pose_path)[:3]
             if np.isinf(c2w).sum() == 0:  # drop invalid tracked poses
                 img_paths.append(img_path)
                 poses.append(c2w)
-                rays.append(
-                    read_image(img_path, self.img_wh, unpad=self.unpad)
-                )
-        self.rays = np.stack(rays).astype(np.float32)
+        self.rays = read_images(img_paths, self.img_wh, unpad=self.unpad)
         poses = np.stack(poses)
 
         # cube-normalize by camera bbox + far margin (scannet.py:58-65)

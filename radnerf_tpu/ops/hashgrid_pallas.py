@@ -125,6 +125,11 @@ def hashgrid_table_grad(
             (1, T * F // LANES, LANES), lambda l, p: (l, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # slab (4 MB) + double-buffered input tiles; leave headroom
+            # above the 16 MB default scoped-vmem budget
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(idx, wg0, wg1)
     return slab.reshape(L, T, F)

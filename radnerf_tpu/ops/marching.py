@@ -256,8 +256,11 @@ def march_rays_train_flat(
     # proportional fair caps under the global budget; rays that hit keep at
     # least 1 sample (the bounded overflow is absorbed by truncating the
     # very end of the buffer — `ends` below is clipped to B-1)
-    floor_cap = (
-        n_r.astype(jnp.int64) * B // jnp.maximum(total, 1)
+    # float ratio avoids int32 overflow of n_r * B at large batch sizes;
+    # an occasional ulp off-by-one in the floor only shifts one cap by 1
+    ratio = jnp.float32(B) / jnp.maximum(total, 1).astype(jnp.float32)
+    floor_cap = jnp.floor(
+        n_r.astype(jnp.float32) * ratio
     ).astype(jnp.int32)
     cap = jnp.where(
         total <= B, n_r, jnp.minimum(n_r, jnp.maximum(floor_cap, 1))
