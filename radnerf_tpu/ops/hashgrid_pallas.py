@@ -38,22 +38,33 @@ from .hashgrid import (
 LANES = 128
 
 
-def _grad_kernel(idx_ref, wg0_ref, wg1_ref, out_ref, *, tile: int):
+def _grad_kernel(idx_ref, wg0_ref, wg1_ref, out_ref, *scratch,
+                 tile: int, n_tiles: int):
     """Accumulate one (level, point-tile) block of table-gradient updates.
 
     idx_ref:  (1, tile, 8) int32 corner rows (points on the sublane axis:
               scalar loads may be dynamic on sublanes, not lanes).
     wg0_ref/wg1_ref: (1, tile, 8) f32 — w[corner]*g[feature 0/1].
     out_ref:  (1, T*F//128, 128) f32 accumulator slab for this level.
+    scratch:  n_chains-1 extra (T*F//128, 128) VMEM accumulator slabs.
 
     Per point, the 8 corner updates are materialized as ONE (8, 128)
     two-hot block with full-width VPU ops (a pair-mask compare selects the
     even/odd lane pair holding the F=2 features), then applied with 8
     dynamic-sublane row RMWs — the only part TPU forces to be serial.
+    The RMWs rotate over `n_chains` independent accumulator refs: Mosaic
+    must order RMWs on ONE ref conservatively (it cannot prove the dynamic
+    rows are distinct), so splitting corners across refs breaks the
+    dependency chain and lets the chains' load/add/store latencies overlap.
+    Slabs are summed into out_ref once, on the final point-tile.
     """
+    chains = (out_ref,) + scratch
+    n_chains = len(chains)
+
     @pl.when(pl.program_id(1) == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        for ch in chains:
+            ch[...] = jnp.zeros_like(ch)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     pair = lane >> 1   # hoisted: lane-pair id per column
@@ -68,10 +79,22 @@ def _grad_kernel(idx_ref, wg0_ref, wg1_ref, out_ref, *, tile: int):
             g1 = wg1_ref[0, i, c]
             g01 = jnp.where(odd, g1, g0)
             vec = jnp.where(pair == colpair, g01, 0.0)
-            out_ref[0, row, :] = out_ref[0, row, :] + vec[0]
+            ch = chains[c % n_chains]
+            if ch is out_ref:
+                ch[0, row, :] = ch[0, row, :] + vec[0]
+            else:
+                ch[row, :] = ch[row, :] + vec[0]
         return 0
 
     jax.lax.fori_loop(0, tile, body, 0)
+
+    if scratch:
+        @pl.when(pl.program_id(1) == n_tiles - 1)
+        def _():
+            acc = out_ref[0, :, :]
+            for ch in scratch:
+                acc = acc + ch[:, :]
+            out_ref[0, :, :] = acc
 
 
 def hashgrid_table_grad(
@@ -81,6 +104,7 @@ def hashgrid_table_grad(
     cfg: HashGridConfig,
     tile: int = 512,
     interpret: bool = False,
+    n_chains: int = 3,
 ) -> jnp.ndarray:
     """dL/dtable from gathered-corner cotangents.
 
@@ -88,6 +112,8 @@ def hashgrid_table_grad(
         idx: (L, N, 8) int32 table rows per level/point/corner.
         w:   (L, N, 8) f32 trilinear weights.
         g:   (N, L*F) cotangent of the encoding output (level-major).
+        n_chains: independent VMEM accumulator slabs (VMEM cost
+            n_chains * T*F*4 bytes; see _grad_kernel).
     Returns:
         (L, T, F) f32 table gradient.
     """
@@ -108,11 +134,15 @@ def hashgrid_table_grad(
     wg0 = w32 * g_lvl[:, :, 0:1]
     wg1 = w32 * g_lvl[:, :, 1:2]
 
+    slab_rows = T * F // LANES
+    slab_bytes = slab_rows * LANES * 4
+    # keep n_chains slabs + input double-buffers under the VMEM budget
+    n_chains = max(1, min(n_chains, (14 * 1024 * 1024) // slab_bytes))
+    n_tiles = n_pad // tile
     slab = pl.pallas_call(
-        functools.partial(_grad_kernel, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((L, T * F // LANES, LANES),
-                                       jnp.float32),
-        grid=(L, n_pad // tile),
+        functools.partial(_grad_kernel, tile=tile, n_tiles=n_tiles),
+        out_shape=jax.ShapeDtypeStruct((L, slab_rows, LANES), jnp.float32),
+        grid=(L, n_tiles),
         in_specs=[
             pl.BlockSpec((1, tile, 8), lambda l, p: (l, p, 0),
                          memory_space=pltpu.VMEM),
@@ -122,12 +152,15 @@ def hashgrid_table_grad(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T * F // LANES, LANES), lambda l, p: (l, 0, 0),
+            (1, slab_rows, LANES), lambda l, p: (l, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, LANES), jnp.float32)
+        ] * (n_chains - 1),
         compiler_params=pltpu.CompilerParams(
-            # slab (4 MB) + double-buffered input tiles; leave headroom
-            # above the 16 MB default scoped-vmem budget
+            # n_chains slabs (4 MB each at T=2^19) + double-buffered input
+            # tiles; leave headroom above the 16 MB scoped-vmem budget
             vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
