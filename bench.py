@@ -141,15 +141,18 @@ def main():
         for i in range(args.warmup):
             b2, o2, loss = step(bundle, opt_state, batch,
                                 jax.random.PRNGKey(i))
-        jax.block_until_ready(loss)
+        # device_get of a scalar is the only reliable sync through the
+        # axon tunnel (block_until_ready has returned early there; see
+        # docs/PERF_NOTES.md "Measurement gotchas").
+        _ = float(loss)
         print(f"# warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
         bu, os_ = bundle, opt_state
         t0 = time.time()
         for i in range(args.steps):
             bu, os_, loss = step(bu, os_, batch, jax.random.PRNGKey(100 + i))
-        jax.block_until_ready(loss)
+        lossf = float(loss)  # sync INSIDE the timed window
         dt = time.time() - t0
-        print(f"# {args.steps} steps in {dt:.2f}s, loss={float(loss):.4f}",
+        print(f"# {args.steps} steps in {dt:.2f}s, loss={lossf:.4f}",
               file=sys.stderr)
         return args.steps * n_rays / dt
 

@@ -193,15 +193,26 @@ def encode_dispatch(
     compute_dtype=jnp.float32,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """Pick the encode implementation: 'xla' (autodiff scatter backward),
-    'pallas' (custom-VJP Pallas table gradient), or 'auto' (pallas on TPU,
-    xla elsewhere — XLA's scatter-add serializes on TPU, ~90% of a training
-    step)."""
+    """Pick the encode implementation by backward strategy:
+      'xla'    — autodiff scatter-add (serializes on TPU; fine on CPU)
+      'pallas' — round-1 serial row-RMW Pallas kernel (~33M upd/s)
+      'sort'   — lax.sort + sorted-hint scatter (pure XLA, ~80M upd/s)
+      'window' — lax.sort + windowed dense Pallas accumulation (fastest)
+      'auto'   — 'window' on TPU, 'xla' elsewhere.
+    Measured comparison: examples/bench_scatter.py."""
     if impl == "auto":
         import jax
 
         # TPU backends register as 'tpu' or (via the axon relay) 'axon'
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        impl = "window" if jax.default_backend() != "cpu" else "xla"
+    if impl == "window":
+        from .hashgrid_window import hashgrid_encode_window
+
+        return hashgrid_encode_window(table, x, cfg, compute_dtype)
+    if impl == "sort":
+        from .hashgrid_sort import hashgrid_encode_sort
+
+        return hashgrid_encode_sort(table, x, cfg, compute_dtype)
     if impl == "pallas":
         from .hashgrid_pallas import hashgrid_encode_fused
 

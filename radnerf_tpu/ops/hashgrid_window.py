@@ -1,0 +1,224 @@
+"""Windowed Pallas scatter for the hash-grid table gradient.
+
+The table gradient is 25-100M random 4-byte read-modify-writes per training
+step — the single hottest op in the framework (tinycudann does it with
+hardware atomicAdd on GPU). TPU has no scatter hardware and every XLA/naive
+path is issue-rate bound (measured on v5e, examples/bench_scatter.py):
+
+    XLA scatter-add (unsorted)        15 M upd/s
+    Pallas serial row-RMW             33 M upd/s   (round-1 kernel)
+    XLA scatter-add (sorted hint)    101 M upd/s   (scalar values only)
+    lax.sort (key + 2 payloads)      424 M upd/s
+
+This kernel breaks the issue-rate wall by combining the sorted stream with
+*dense windowed accumulation*: sort is the TPU's only fast random-access
+engine, and once the update stream is row-sorted, any tile of TILE
+consecutive updates targets a narrow band of table rows. Each tile is then
+processed with full-width VPU ops:
+
+  1. two-hot value matrix  M[u, j] = (j>>1 == sk[u]-base) * (j&1 ? s1 : s0)
+     built with vector compares against a lane iota — (TILE, 2*W) f32;
+  2. column reduction  contrib[j] = sum_u M[u, j]  — a dense VPU reduce;
+  3. one dynamic-sublane add of the (2*W/128, 128) window into the level's
+     f32 accumulator slab (flat layout: feature pos = 2*row + f).
+
+No per-update serial work remains; amortized cost is a few cycles/update.
+Tiles spanning more than W rows (sparse regions) loop over as many windows
+as needed — exactness does not depend on the data distribution.
+
+Layout notes: the (T, 2) gradient lives as a (T*2/128, 128) slab because a
+2-wide trailing dim would waste 126/128 VMEM lanes; windows are aligned to
+64 table rows so they start on a slab sublane boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    hashgrid_indices,
+)
+
+LANES = 128
+W_ROWS = 64             # table rows per window == one slab sublane
+WIN_FLAT = 2 * W_ROWS   # flat feature positions per window (= LANES)
+TILE_SUB = 8            # update tile is a (TILE_SUB, LANES) block
+TILE = TILE_SUB * LANES  # 1024 updates per tile
+
+
+def _window_scatter_kernel(sk_ref, s0_ref, s1_ref, out_ref):
+    """Accumulate one (level, update-tile) block of sorted updates.
+
+    sk_ref:      (1, 1, TILE_SUB, LANES) int32 — sorted rows of this tile
+                 (row-major flattening preserves sorted order; only the
+                 min/max — the static first/last elements — are read as
+                 scalars, the set is consumed whole by vector ops).
+    s0/s1_ref:   (1, 1, TILE_SUB, LANES) f32 — feature-0/1 update values.
+    out_ref:     (1, slab_rows, LANES) f32 — the level's gradient slab,
+                 VMEM-resident across update tiles (index map ignores p).
+                 Flat feature position of (row r, feature f) = 2r + f.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    sk = sk_ref[0, 0]                    # (TILE_SUB, LANES)
+    r_lo = sk_ref[0, 0, 0, 0]
+    r_hi = sk_ref[0, 0, TILE_SUB - 1, LANES - 1]
+    base0 = (r_lo >> 6) << 6             # align to slab sublane (64 rows)
+    n_win = ((r_hi - base0) >> 6) + 1
+
+    sk3 = sk[:, :, None]                 # (TILE_SUB, LANES, 1)
+    # flat in-window position of feature 0 of each update: 2*(row-base)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_FLAT), 2)
+    j_row = j >> 1
+    j_odd = (j & 1) == 1
+    val = jnp.where(
+        j_odd, s1_ref[0, 0][:, :, None], s0_ref[0, 0][:, :, None]
+    )                                    # (TILE_SUB, LANES, WIN_FLAT)
+
+    def body(w, _):
+        base = base0 + w * W_ROWS
+        m = jnp.where(sk3 - base == j_row, val, 0.0)
+        contrib = jnp.sum(m, axis=(0, 1)).reshape(1, WIN_FLAT)
+        sub = base >> 6                  # slab sublane = 2*base/LANES
+        out_ref[0, pl.ds(sub, 1), :] = (
+            out_ref[0, pl.ds(sub, 1), :] + contrib
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_win, body, 0)
+
+
+def sorted_table_grad_window(
+    sk: jnp.ndarray,
+    s0: jnp.ndarray,
+    s1: jnp.ndarray,
+    table_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(L, T, 2) f32 gradient from a row-sorted update stream.
+
+    Args:
+        sk: (L, n) int32 sorted (non-decreasing per level) table rows.
+        s0, s1: (L, n) f32 update values for features 0 / 1.
+    """
+    L, n = sk.shape
+    T = table_size
+    assert T % W_ROWS == 0
+    pad = (-n) % TILE
+    if pad:
+        # pad with zero-valued updates aimed at the last row: keys stay
+        # sorted (T-1 >= every key) and the contribution is exactly 0
+        sk = jnp.pad(sk, ((0, 0), (0, pad)), constant_values=T - 1)
+        s0 = jnp.pad(s0, ((0, 0), (0, pad)))
+        s1 = jnp.pad(s1, ((0, 0), (0, pad)))
+    n_pad = n + pad
+    n_tiles = n_pad // TILE
+    # one spare sublane: the last window's 64-aligned base can start as
+    # high as row T-64 and its single-sublane add lands exactly on the
+    # final slab row — the spare only guards the degenerate T < TILE case
+    slab_rows = T * 2 // LANES + 1
+    shape4 = (L, n_tiles, TILE_SUB, LANES)
+
+    slab = pl.pallas_call(
+        _window_scatter_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, slab_rows, LANES), jnp.float32),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_SUB, LANES), lambda l, p: (l, p, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec(
+            (1, slab_rows, LANES), lambda l, p: (l, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        sk.reshape(shape4),
+        s0.reshape(shape4),
+        s1.reshape(shape4),
+    )
+    # slab flat position 2*r + f -> (T, 2); drop the spare padding sublane
+    return slab[:, : T * 2 // LANES, :].reshape(L, T, 2)
+
+
+def hashgrid_table_grad_window(
+    idx: jnp.ndarray,
+    w: jnp.ndarray,
+    g: jnp.ndarray,
+    cfg: HashGridConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """dL/dtable: sort the update stream, then windowed dense accumulation.
+
+    Args:
+        idx: (L, N, 8) int32 corner rows; w: (L, N, 8) weights;
+        g: (N, L*F) output cotangent (level-major).
+    """
+    L, N, _ = idx.shape
+    T, F = cfg.table_size, cfg.n_features
+    assert F == 2
+    n = N * 8
+    g_lvl = g.reshape(N, L, F).transpose(1, 0, 2).astype(jnp.float32)
+    w32 = w.astype(jnp.float32)
+    v0 = (w32 * g_lvl[:, :, None, 0]).reshape(L, n)
+    v1 = (w32 * g_lvl[:, :, None, 1]).reshape(L, n)
+    sk, s0, s1 = jax.lax.sort(
+        (idx.reshape(L, n), v0, v1), dimension=-1, num_keys=1,
+        is_stable=False,
+    )
+    return sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_window(cfg: HashGridConfig, compute_dtype_name: str,
+                       interpret: bool):
+    compute_dtype = jnp.dtype(compute_dtype_name)
+
+    @jax.custom_vjp
+    def fused(table, x):
+        return hashgrid_encode(table, x, cfg, compute_dtype)
+
+    def fwd(table, x):
+        out = hashgrid_encode(table, x, cfg, compute_dtype)
+        return out, (x, jnp.zeros((0,), table.dtype))
+
+    def bwd(res, g):
+        x, dtype_token = res
+        idx, w = hashgrid_indices(x, cfg)  # rematerialized
+        dtable = hashgrid_table_grad_window(
+            idx, w, g.astype(jnp.float32), cfg, interpret=interpret
+        )
+        return dtable.astype(dtype_token.dtype), jnp.zeros_like(x)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def hashgrid_encode_window(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """hashgrid_encode with the sorted-windowed-scatter backward.
+
+    Forward: XLA gather (same as ops.hashgrid). Backward: lax.sort +
+    `sorted_table_grad_window`. No gradient to x (the reference's position
+    gradients are never consumed, custom_functions.py:102-112)."""
+    return _make_fused_window(cfg, jnp.dtype(compute_dtype).name, interpret)(
+        table, x
+    )
