@@ -158,6 +158,71 @@ def hashgrid_indices(
     return idx.astype(jnp.int32), w
 
 
+def hashgrid_indices_cm(
+    x: jnp.ndarray, cfg: HashGridConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Corner-major gather indices and weights: (L, 8, N).
+
+    TPU layout note: the point-major (L, N, 8) layout of
+    :func:`hashgrid_indices` puts the 8-corner axis on the vector lanes,
+    which the TPU tiled layout pads 16x (T(8,128) tiles, 8 of 128 lanes
+    used) — every downstream array then carries 16-64x memory waste (the
+    round-1 batch-8192 HBM OOM). Corner-major keeps N on the lanes:
+    every intermediate is full-width.
+    """
+    N = x.shape[0]
+    scales = jnp.asarray(cfg.level_scales())            # (L,)
+    res = jnp.asarray(cfg.level_resolutions().astype(np.int32))
+    dense = jnp.asarray(cfg.level_is_dense())
+    tmask = jnp.uint32(cfg.table_size - 1)
+    bits = jnp.asarray(_CORNERS.T)                      # (3, 8)
+
+    xt = jnp.transpose(x)                               # (3, N)
+    pos = xt[None, :, :] * scales[:, None, None] + 0.5  # (L, 3, N)
+    pos_i = jnp.floor(pos)
+    frac = (pos - pos_i).astype(jnp.float32)
+    pos_i = pos_i.astype(jnp.int32)
+
+    # per-axis corner coords (L, 8, N)
+    cu = [
+        (pos_i[:, d, None, :] + bits[d][None, :, None]).astype(jnp.uint32)
+        for d in range(3)
+    ]
+    r = res[:, None, None].astype(jnp.uint32)
+    idx_dense = cu[0] + r * (cu[1] + r * cu[2])
+    idx_hash = (
+        cu[0] * jnp.uint32(_PRIMES[0])
+        ^ cu[1] * jnp.uint32(_PRIMES[1])
+        ^ cu[2] * jnp.uint32(_PRIMES[2])
+    )
+    idx = jnp.where(dense[:, None, None], idx_dense, idx_hash) & tmask
+
+    w = jnp.ones((cfg.n_levels, 8, N), jnp.float32)
+    for d in range(3):
+        b = bits[d][None, :, None].astype(jnp.float32)
+        f = frac[:, d, None, :]
+        w = w * (b * f + (1.0 - b) * (1.0 - f))
+    return idx.astype(jnp.int32), w
+
+
+def _flat_level_idx(idx: jnp.ndarray, T: int) -> jnp.ndarray:
+    """(L, 8, N) per-level rows -> (L*8*N,) rows into the stacked table."""
+    L = idx.shape[0]
+    return (
+        jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx
+    ).reshape(-1)
+
+
+def _cm_out(o0: jnp.ndarray, o1: jnp.ndarray) -> jnp.ndarray:
+    """(L, N) per-feature sums -> (N, L*F) level-major tcnn layout."""
+    L, N = o0.shape
+    return (
+        jnp.stack([o0, o1], axis=1)      # (L, 2, N), full-width
+        .transpose(2, 0, 1)
+        .reshape(N, L * 2)
+    )
+
+
 def hashgrid_encode(
     table: jnp.ndarray,
     x: jnp.ndarray,
@@ -165,6 +230,10 @@ def hashgrid_encode(
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Encode positions through the multiresolution hash grid.
+
+    Differentiable reference path: two full-width per-feature gathers (the
+    autodiff backward is a scatter-add). Corner-major internals — no
+    narrow (…, 2) or (…, 8) arrays are materialized.
 
     Args:
         table: (L, T, F) feature table.
@@ -174,16 +243,47 @@ def hashgrid_encode(
         (N, L*F) features, level-major (matching tcnn's output layout).
     """
     L, T, F = table.shape
-    idx, w = hashgrid_indices(x, cfg)  # (L,N,8), (L,N,8)
-    flat_idx = (
-        jnp.arange(L, dtype=jnp.int32)[:, None, None] * T + idx
-    ).reshape(-1)
-    feats = jnp.take(
-        table.reshape(L * T, F).astype(compute_dtype), flat_idx, axis=0
-    ).reshape(L, x.shape[0], 8, F)
-    out = jnp.sum(w[..., None].astype(compute_dtype) * feats, axis=2)
-    # (L, N, F) -> (N, L*F) level-major.
-    return jnp.transpose(out, (1, 0, 2)).reshape(x.shape[0], L * F)
+    assert F == 2
+    N = x.shape[0]
+    idx, w = hashgrid_indices_cm(x, cfg)           # (L, 8, N)
+    flat = _flat_level_idx(idx, T)
+    t0 = table[..., 0].reshape(-1).astype(compute_dtype)
+    t1 = table[..., 1].reshape(-1).astype(compute_dtype)
+    f0 = jnp.take(t0, flat).reshape(L, 8, N)
+    f1 = jnp.take(t1, flat).reshape(L, 8, N)
+    wc = w.astype(compute_dtype)
+    return _cm_out(jnp.sum(wc * f0, axis=1), jnp.sum(wc * f1, axis=1))
+
+
+def hashgrid_encode_packed(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+) -> jnp.ndarray:
+    """bf16 encode via ONE u32 gather per (level, point, corner).
+
+    Both bf16 features of a row are packed into one uint32 (tcnn packs
+    fp16x2 the same way for its vectorized loads), halving the gather
+    issue count and avoiding narrow-row gathers entirely. NOT
+    differentiable (integer ops) — used as the forward of the custom-VJP
+    encodes; output matches hashgrid_encode(..., bfloat16) bit-exactly.
+    """
+    L, T, F = table.shape
+    assert F == 2
+    N = x.shape[0]
+    idx, w = hashgrid_indices_cm(x, cfg)
+    packed = jax.lax.bitcast_convert_type(
+        table.astype(jnp.bfloat16), jnp.uint32
+    )  # (L, T): low 16 bits = feature 0
+    g = jnp.take(packed.reshape(-1), _flat_level_idx(idx, T))
+    f0 = jax.lax.bitcast_convert_type(
+        (g & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).reshape(L, 8, N)
+    f1 = jax.lax.bitcast_convert_type(
+        (g >> jnp.uint32(16)).astype(jnp.uint16), jnp.bfloat16
+    ).reshape(L, 8, N)
+    wc = w.astype(jnp.bfloat16)
+    return _cm_out(jnp.sum(wc * f0, axis=1), jnp.sum(wc * f1, axis=1))
 
 
 def encode_dispatch(

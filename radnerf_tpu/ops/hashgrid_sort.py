@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from .hashgrid import (
     HashGridConfig,
     hashgrid_encode,
-    hashgrid_indices,
+    hashgrid_encode_packed,
+    hashgrid_indices_cm,
 )
 
 
@@ -71,23 +72,21 @@ def hashgrid_table_grad_sort(
     """dL/dtable via sort + prefix-sum + binary search (no scatter).
 
     Args:
-        idx: (L, N, 8) int32 corner rows per level.
-        w:   (L, N, 8) trilinear weights.
+        idx: (L, 8, N) int32 corner rows per level (corner-major).
+        w:   (L, 8, N) trilinear weights.
         g:   (N, L*F) cotangent of the encoding output (level-major).
     Returns:
         (L, T, F) f32 table gradient.
     """
-    L, N, _ = idx.shape
+    L, _, N = idx.shape
     T, F = cfg.table_size, cfg.n_features
     assert F == 2, "specialized for the reference's F=2"
     n = N * 8
 
-    g_lvl = (
-        g.reshape(N, L, F).transpose(1, 0, 2).astype(jnp.float32)
-    )  # (L, N, F)
+    gt = jnp.transpose(g).reshape(L, F, N).astype(jnp.float32)
     w32 = w.astype(jnp.float32)
-    v0 = (w32 * g_lvl[:, :, None, 0]).reshape(L, n)
-    v1 = (w32 * g_lvl[:, :, None, 1]).reshape(L, n)
+    v0 = (w32 * gt[:, 0, None, :]).reshape(L, n)
+    v1 = (w32 * gt[:, 1, None, :]).reshape(L, n)
     keys = idx.reshape(L, n)
 
     sk, s0, s1 = jax.lax.sort(
@@ -106,17 +105,23 @@ def hashgrid_table_grad_sort(
 def _make_fused_sort(cfg: HashGridConfig, compute_dtype_name: str):
     compute_dtype = jnp.dtype(compute_dtype_name)
 
+    if compute_dtype == jnp.bfloat16:
+        def primal(table, x):
+            return hashgrid_encode_packed(table, x, cfg)
+    else:
+        def primal(table, x):
+            return hashgrid_encode(table, x, cfg, compute_dtype)
+
     @jax.custom_vjp
     def fused(table, x):
-        return hashgrid_encode(table, x, cfg, compute_dtype)
+        return primal(table, x)
 
     def fwd(table, x):
-        out = hashgrid_encode(table, x, cfg, compute_dtype)
-        return out, (x, jnp.zeros((0,), table.dtype))
+        return primal(table, x), (x, jnp.zeros((0,), table.dtype))
 
     def bwd(res, g):
         x, dtype_token = res
-        idx, w = hashgrid_indices(x, cfg)  # rematerialized
+        idx, w = hashgrid_indices_cm(x, cfg)  # rematerialized
         dtable = hashgrid_table_grad_sort(
             idx, w, g.astype(jnp.float32), cfg
         )

@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .hashgrid import (
     HashGridConfig,
     hashgrid_encode,
-    hashgrid_indices,
+    hashgrid_encode_packed,
+    hashgrid_indices_cm,
 )
 
 LANES = 128
@@ -164,17 +165,18 @@ def hashgrid_table_grad_window(
     """dL/dtable: sort the update stream, then windowed dense accumulation.
 
     Args:
-        idx: (L, N, 8) int32 corner rows; w: (L, N, 8) weights;
-        g: (N, L*F) output cotangent (level-major).
+        idx: (L, 8, N) int32 corner rows (corner-major, full-width);
+        w: (L, 8, N) weights; g: (N, L*F) output cotangent (level-major).
     """
-    L, N, _ = idx.shape
+    L, _, N = idx.shape
     T, F = cfg.table_size, cfg.n_features
     assert F == 2
     n = N * 8
-    g_lvl = g.reshape(N, L, F).transpose(1, 0, 2).astype(jnp.float32)
+    # (N, L*2) -> per-feature (L, N) planes, no narrow intermediates
+    gt = jnp.transpose(g).reshape(L, 2, N).astype(jnp.float32)
     w32 = w.astype(jnp.float32)
-    v0 = (w32 * g_lvl[:, :, None, 0]).reshape(L, n)
-    v1 = (w32 * g_lvl[:, :, None, 1]).reshape(L, n)
+    v0 = (w32 * gt[:, 0, None, :]).reshape(L, n)
+    v1 = (w32 * gt[:, 1, None, :]).reshape(L, n)
     sk, s0, s1 = jax.lax.sort(
         (idx.reshape(L, n), v0, v1), dimension=-1, num_keys=1,
         is_stable=False,
@@ -187,17 +189,24 @@ def _make_fused_window(cfg: HashGridConfig, compute_dtype_name: str,
                        interpret: bool):
     compute_dtype = jnp.dtype(compute_dtype_name)
 
+    if compute_dtype == jnp.bfloat16:
+        # packed-u32 gather: one issue per (level, point, corner)
+        def primal(table, x):
+            return hashgrid_encode_packed(table, x, cfg)
+    else:
+        def primal(table, x):
+            return hashgrid_encode(table, x, cfg, compute_dtype)
+
     @jax.custom_vjp
     def fused(table, x):
-        return hashgrid_encode(table, x, cfg, compute_dtype)
+        return primal(table, x)
 
     def fwd(table, x):
-        out = hashgrid_encode(table, x, cfg, compute_dtype)
-        return out, (x, jnp.zeros((0,), table.dtype))
+        return primal(table, x), (x, jnp.zeros((0,), table.dtype))
 
     def bwd(res, g):
         x, dtype_token = res
-        idx, w = hashgrid_indices(x, cfg)  # rematerialized
+        idx, w = hashgrid_indices_cm(x, cfg)  # rematerialized
         dtable = hashgrid_table_grad_window(
             idx, w, g.astype(jnp.float32), cfg, interpret=interpret
         )

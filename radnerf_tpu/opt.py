@@ -115,6 +115,15 @@ def get_parser() -> argparse.ArgumentParser:
                      help='devices in the ray-parallel mesh (0 = all local)')
     tpu.add_argument('--samples_per_ray', type=int, default=192,
                      help='static per-ray occupied-sample budget S')
+    tpu.add_argument('--layout', type=str, default='flat',
+                     choices=['flat', 'dense'],
+                     help='training sample layout: flat = static-CSR '
+                          'compacted buffer (zero padding waste, the TPU '
+                          'twin of the reference CSR pipeline), dense = '
+                          '(N, S) per-ray grid')
+    tpu.add_argument('--budget_per_ray', type=int, default=64,
+                     help='flat layout: average per-ray sample budget '
+                          '(total buffer B = batch * budget)')
     tpu.add_argument('--compute_dtype', type=str, default='bfloat16',
                      choices=['float32', 'bfloat16'],
                      help='MLP/hash-gather compute dtype (params stay fp32)')

@@ -26,13 +26,16 @@ from ..ops.sh import sh_encode_dir
 from .render import RenderConfig, render_test, render_train
 
 
-def _gated_forward_fn(params, state, cfg: BlockNGPConfig, gate_per_sample):
+def _gated_forward_fn(params, state, cfg: BlockNGPConfig, gating_code,
+                      dense_S=None):
     """Field closure evaluating all K rgb heads and gating them per sample.
 
-    gate_per_sample: (N_samples, K) — the caller-supplied gating code
-    broadcast from rays to their samples."""
+    gating_code: (N_rays, K) caller-supplied spatial assignment. On the
+    dense layout samples arrive ray-major so the gate broadcasts by
+    repetition (dense_S); on the flat layout the renderer passes each
+    sample's `ray_id` and the gate is gathered per sample."""
 
-    def fwd(x, d):
+    def fwd(x, d, ray_id=None):
         sigmas, h = block_density(params, state, cfg, x, return_feat=True)
         d_enc = sh_encode_dir(d, cfg.sh_degree).astype(cfg.cdtype)
         rgb_in = jnp.concatenate([d_enc, h], axis=-1)
@@ -42,6 +45,12 @@ def _gated_forward_fn(params, state, cfg: BlockNGPConfig, gate_per_sample):
                 compute_dtype=cfg.cdtype,
             )
         )(params["rgb"])  # (K, N, 3)
+        if ray_id is not None:
+            gate_per_sample = jnp.take(gating_code, ray_id, axis=0)
+        else:
+            gate_per_sample = jnp.repeat(
+                gating_code[:, None, :], dense_S, axis=1
+            ).reshape(x.shape[0], -1)
         rgb = jnp.einsum(
             "nk,knc->nc", gate_per_sample, rgbs_k.astype(jnp.float32)
         )
@@ -66,13 +75,11 @@ def block_render_train(
     gating_code: with shared density, w_k == w for all k, so
     sum_k g_k (sum_s w_s rgb_{k,s}) == sum_s w_s (sum_k g_k rgb_{k,s}).
     """
-    N, S = rays_o.shape[0], rcfg.samples_per_ray
-    gate_samples = jnp.repeat(gating_code[:, None, :], S, axis=1).reshape(
-        N * S, -1
-    )
     out = render_train(
         None, state, cfg, rays_o, rays_d, key, rcfg,
-        forward_fn=_gated_forward_fn(params, state, cfg, gate_samples),
+        forward_fn=_gated_forward_fn(
+            params, state, cfg, gating_code, dense_S=rcfg.samples_per_ray
+        ),
     )
     # reference composes opacity/depth with the gate too; with a normalized
     # gate (rows summing to 1) they are unchanged, otherwise scale:
@@ -92,13 +99,11 @@ def block_render_test(
     gating_code: jnp.ndarray,
     rcfg: RenderConfig,
 ) -> dict:
-    N, S = rays_o.shape[0], rcfg.test_block_samples
-    gate_samples = jnp.repeat(gating_code[:, None, :], S, axis=1).reshape(
-        N * S, -1
-    )
     out = render_test(
         None, state, cfg, rays_o, rays_d, rcfg,
-        forward_fn=_gated_forward_fn(params, state, cfg, gate_samples),
+        forward_fn=_gated_forward_fn(
+            params, state, cfg, gating_code, dense_S=rcfg.test_block_samples
+        ),
     )
     gsum = gating_code.sum(axis=1)
     out["depth"] = out["depth"] * gsum

@@ -20,10 +20,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..models.gates import apply_ray_gate
-from ..models.mlp import slice_stacked
-from ..models.mngp import MNGPConfig, expert_forward_fn
-from .render import RenderConfig, render_test, render_train
+from ..models.mlp import apply_mlp, slice_stacked
+from ..models.mngp import MNGPConfig, _encode, expert_forward_fn
+from ..ops.compositing import composite_train, composite_train_flat
+from ..ops.intersection import scene_near_far
+from ..ops.marching import march_rays_train, march_rays_train_flat
+from ..ops.sh import sh_encode_dir
+from ..ops.trunc_exp import trunc_exp
+from ..models.ngp import scene_center_half
+from .render import (
+    NEAR_DISTANCE,
+    RenderConfig,
+    background_color,
+    render_test,
+    render_train,
+)
 
 
 def _stack_results(results: list) -> dict:
@@ -39,6 +53,113 @@ def _gate_input(rays_o, rays_d, imgs_d, gate_type: str) -> jnp.ndarray:
     if gate_type == "image":
         return jnp.concatenate([rays_o, imgs_d], axis=1)
     return jnp.concatenate([rays_o, rays_d], axis=1)
+
+
+def _expert_samples_shared(
+    params, state, cfg: MNGPConfig, rays_o, rays_d, key, rcfg: RenderConfig
+) -> dict:
+    """March every expert, then run ONE hash encode over the union of all
+    experts' samples (the encoder is shared, networks.py:234-247) and
+    vmapped per-expert MLPs + compositing.
+
+    This is the batched-gated-mixture core: the reference's sequential K
+    full renders (ml_rendering.py:47-68) collapse into one XLA program with
+    a single sort+scatter pipeline through the hash table — K times fewer
+    kernel launches and a fraction of the compile surface of an unrolled
+    expert loop.
+    """
+    K, N = cfg.n_experts, rays_o.shape[0]
+    center, half = scene_center_half(state)
+    t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
+    mcfg = rcfg.march(cfg)
+    k_noise, k_bg = jax.random.split(key)
+    noises = jax.random.uniform(k_noise, (K, N))
+    d_enc_ray = sh_encode_dir(rays_d, cfg.sh_degree).astype(cfg.cdtype)
+
+    if rcfg.layout == "flat":
+        march = jax.vmap(
+            lambda occ_k, nz: march_rays_train_flat(
+                rays_o, rays_d, t1, t2, occ_k, mcfg, nz,
+                budget_per_ray=rcfg.budget_per_ray,
+            )
+        )
+        m = march(state["occ"], noises)          # leaves (K, B) / (K, N)
+        rid = m["ray_id"]
+        o = jnp.take(rays_o, rid.reshape(-1), axis=0)
+        d = jnp.take(rays_d, rid.reshape(-1), axis=0)
+        xyz = o + m["ts"].reshape(-1)[:, None] * d      # (K*B, 3)
+        d_enc = jnp.take(d_enc_ray, rid.reshape(-1), axis=0)
+        P = rid.shape[1]
+    else:
+        march = jax.vmap(
+            lambda occ_k, nz: march_rays_train(
+                rays_o, rays_d, t1, t2, occ_k, mcfg, nz
+            )
+        )
+        m = march(state["occ"], noises)       # ts/deltas/valid (K, N, S)
+        S = mcfg.samples_per_ray
+        xyz = (
+            rays_o[None, :, None, :]
+            + m["ts"][..., None] * rays_d[None, :, None, :]
+        ).reshape(-1, 3)                                 # (K*N*S, 3)
+        d_enc = jnp.broadcast_to(
+            d_enc_ray[None, :, None, :],
+            (K, N, S, d_enc_ray.shape[-1]),
+        ).reshape(K * N * S, -1)
+        P = N * S
+
+    feat = _encode(params, state, cfg, xyz).reshape(K, P, -1)
+    h = jax.vmap(
+        lambda p, f: apply_mlp(p, f, compute_dtype=cfg.cdtype)
+    )(params["geo"], feat)                               # (K, P, 1+geo_out)
+    sigmas = trunc_exp(h[..., 0])
+    rgb_in = jnp.concatenate(
+        [d_enc.reshape(K, P, -1), h[..., 1:]], axis=-1
+    )
+    rgbs = jax.vmap(
+        lambda p, f: apply_mlp(
+            p, f, out_act=cfg.rgb_act.lower(), compute_dtype=cfg.cdtype
+        )
+    )(params["rgb"], rgb_in).astype(jnp.float32)         # (K, P, 3)
+
+    if rcfg.layout == "flat":
+        out = jax.vmap(
+            functools.partial(
+                composite_train_flat, T_threshold=rcfg.T_threshold
+            )
+        )(
+            sigmas, rgbs, m["deltas"], m["ts"], m["ray_id"], m["offsets"],
+            m["cap"], m["valid"],
+        )
+        extra = {
+            "ray_id": m["ray_id"], "offsets": m["offsets"], "cap": m["cap"],
+            "rm_samples": jnp.sum(m["total"]),
+        }
+    else:
+        sigmas = sigmas.reshape(K, N, S)
+        rgbs = rgbs.reshape(K, N, S, 3)
+        out = jax.vmap(
+            functools.partial(composite_train, T_threshold=rcfg.T_threshold)
+        )(sigmas, rgbs, m["deltas"], m["ts"], m["valid"])
+        extra = {"rm_samples": jnp.sum(m["n_samples"])}
+
+    # per-expert random background, as K independent renders would draw
+    bgs = jax.vmap(lambda kk: background_color(rcfg, kk))(
+        jax.random.split(k_bg, K)
+    )
+    rgb = out["rgb"] + bgs[:, None, :] * (1.0 - out["opacity"][..., None])
+    return {
+        "rgb": rgb,
+        "depth": out["depth"],
+        "opacity": out["opacity"],
+        "ws": out["ws"],
+        "ts": m["ts"],
+        "deltas": m["deltas"],
+        "valid": m["valid"],
+        "n_samples": m["n_samples"],
+        "total_samples": jnp.sum(out["vr_samples"]),
+        **extra,
+    }
 
 
 def ml_render_train(
@@ -60,30 +181,34 @@ def ml_render_train(
     )
     keys = jax.random.split(key, K)
 
-    def render_one(geo_k, rgb_k, table_k, occ_k, key_k):
-        fwd = expert_forward_fn(table_k, geo_k, rgb_k, state, cfg)
-        sub_state = {**state, "occ": occ_k}
-        return render_train(
-            None, sub_state, cfg, rays_o, rays_d, key_k, rcfg,
-            forward_fn=fwd,
+    if cfg.shared_encoder:
+        res = _expert_samples_shared(
+            params, state, cfg, rays_o, rays_d, key, rcfg
         )
+    else:
 
-    # statically-unrolled expert loop (K is 2-5). A vmap would be prettier,
-    # but the Pallas hash-grid backward cannot be batched (Mosaic rejects
-    # the extra dim), and XLA parallelizes the unrolled branches anyway.
-    res = _stack_results(
-        [
-            render_one(
-                slice_stacked(params["geo"], k),
-                slice_stacked(params["rgb"], k),
-                params["hash_table"]
-                if cfg.shared_encoder else params["hash_table"][k],
-                state["occ"][k],
-                keys[k],
+        def render_one(geo_k, rgb_k, table_k, occ_k, key_k):
+            fwd = expert_forward_fn(table_k, geo_k, rgb_k, state, cfg)
+            sub_state = {**state, "occ": occ_k}
+            return render_train(
+                None, sub_state, cfg, rays_o, rays_d, key_k, rcfg,
+                forward_fn=fwd,
             )
-            for k in range(K)
-        ]
-    )
+
+        # unshared_MNGP: per-expert hash tables -> statically-unrolled
+        # expert loop (K is 2-5); XLA parallelizes the branches
+        res = _stack_results(
+            [
+                render_one(
+                    slice_stacked(params["geo"], k),
+                    slice_stacked(params["rgb"], k),
+                    params["hash_table"][k],
+                    state["occ"][k],
+                    keys[k],
+                )
+                for k in range(K)
+            ]
+        )
 
     rgb = jnp.einsum("nk,knc->nc", gate, res["rgb"])
     opacity = jnp.einsum("nk,kn->n", gate, res["opacity"])

@@ -146,7 +146,14 @@ def _render_train_flat(
     o = jnp.take(rays_o, rid, axis=0)
     d = jnp.take(rays_d, rid, axis=0)
     xyz = o + m["ts"][:, None] * d
-    fwd_out = forward_fn(xyz, d)
+    # closures that need the sample->ray mapping (e.g. block/mega per-ray
+    # gating) declare a `ray_id` keyword
+    import inspect
+
+    if "ray_id" in inspect.signature(forward_fn).parameters:
+        fwd_out = forward_fn(xyz, d, ray_id=rid)
+    else:
+        fwd_out = forward_fn(xyz, d)
     extras = None
     if isinstance(fwd_out, tuple) and len(fwd_out) == 3:
         sigmas, rgbs, extras = fwd_out

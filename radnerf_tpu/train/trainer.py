@@ -61,6 +61,41 @@ def jnp_get_rays(directions, c2w):
     return rays_o, rays_d
 
 
+def jnp_axisangle_to_R(v):
+    """Rodrigues: (N, 3) axis-angle -> (N, 3, 3), differentiable twin of
+    data.ray_utils.axisangle_to_R (used by --optimize_ext, train.py:102-105).
+    Safe at theta -> 0 (the all-zeros init)."""
+    # double-where so gradients stay finite at theta = 0 (the all-zeros
+    # init): the norm's derivative is 0/0 there, so both branches must be
+    # evaluated on safe inputs and selected afterwards
+    t2 = jnp.sum(v * v, axis=-1, keepdims=True)        # (N, 1)
+    small = t2 < 1e-8
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / t2_safe)
+    zeros = jnp.zeros_like(v[..., 0])
+    K = jnp.stack(
+        [
+            jnp.stack([zeros, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], zeros, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], zeros], -1),
+        ],
+        -2,
+    )  # (N, 3, 3) cross-product matrix
+    eye = jnp.eye(3)
+    return eye + a[..., None] * K + b[..., None] * (K @ K)
+
+
+def apply_pose_refinement(poses, ext, img_idxs):
+    """poses (B, 3, 4) refined by per-image dR (axis-angle) and dT
+    (train.py:102-105)."""
+    dR = jnp_axisangle_to_R(ext["dR"][img_idxs])
+    R = dR @ poses[..., :3]
+    t = poses[..., 3] + ext["dT"][img_idxs]
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
 class NeRFSystem:
     def __init__(self, hparams):
         self.h = hparams
@@ -84,12 +119,15 @@ class NeRFSystem:
         )
         self.key = jax.random.PRNGKey(getattr(hparams, "seed", 1337))
         self.global_step = 0
+        self.ext_params = None  # set by configure_model iff --optimize_ext
 
         # render config (exp_step_factor rule: train_ml.py:101-102)
         self.rcfg = RenderConfig(
             exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
             samples_per_ray=getattr(hparams, "samples_per_ray", 192),
             random_bg=getattr(hparams, "random_bg", False),
+            layout=getattr(hparams, "layout", "flat"),
+            budget_per_ray=getattr(hparams, "budget_per_ray", 64),
         )
 
         cdt = getattr(hparams, "compute_dtype", "bfloat16")
@@ -155,6 +193,13 @@ class NeRFSystem:
             self.params = init_ngp(k1, self.cfg)
             self.gate_params = None
             self.model_state = init_ngp_state(self.cfg)
+        self.ext_params = None
+        if getattr(self.h, "optimize_ext", False):
+            n_imgs = len(self.train_dataset.poses)
+            self.ext_params = {
+                "dR": jnp.zeros((n_imgs, 3)),
+                "dT": jnp.zeros((n_imgs, 3)),
+            }  # train.py:146-150
         wp = getattr(self.h, "weight_path", None)
         if wp:
             self.params = jax.tree_util.tree_map(
@@ -174,16 +219,33 @@ class NeRFSystem:
             )
 
         self.lr_schedule = lr_schedule
-        self.optimizer = optax.adam(
+        net_opt = optax.adam(
             lr_schedule, eps=1e-15
         )  # FusedAdam twin (train_ml.py:143)
+        if self.ext_params is not None:
+            # extrinsics get their own Adam at the reference's hard-coded
+            # 1e-8 (train.py:160), no schedule
+            self.optimizer = optax.multi_transform(
+                {"net": net_opt, "ext": optax.adam(1e-8)},
+                param_labels=lambda bundle: {
+                    k: jax.tree_util.tree_map(
+                        lambda _: "ext" if k == "ext" else "net", v
+                    )
+                    for k, v in bundle.items()
+                },
+            )
+        else:
+            self.optimizer = net_opt
         self.trainable = self._bundle_params()
         self.opt_state = self.optimizer.init(self.trainable)
 
     def _bundle_params(self):
+        b = {"model": self.params}
         if self.moe:
-            return {"model": self.params, "gate": self.gate_params}
-        return {"model": self.params}
+            b["gate"] = self.gate_params
+        if self.ext_params is not None:
+            b["ext"] = self.ext_params
+        return b
 
     def _unbundle(self, bundle):
         if self.moe:
@@ -203,6 +265,10 @@ class NeRFSystem:
             k_sample, k_render = jax.random.split(key)
             n_local = batch["img_idxs"].shape[0]
             poses = data["poses"][batch["img_idxs"]]
+            if "ext" in bundle:  # --optimize_ext (train.py:102-105)
+                poses = apply_pose_refinement(
+                    poses, bundle["ext"], batch["img_idxs"]
+                )
             directions = data["directions"][batch["pix_idxs"]]
             rays_o, rays_d = jnp_get_rays(directions, poses)
             target = {
@@ -318,6 +384,8 @@ class NeRFSystem:
                 self.params = self.trainable["model"]
                 if self.moe:
                     self.gate_params = self.trainable["gate"]
+                if self.ext_params is not None:
+                    self.ext_params = self.trainable["ext"]
                 rays_done += h.batch_size
                 if step % 100 == 0:
                     loss_v = float(loss)
@@ -444,6 +512,8 @@ class NeRFSystem:
         self.params = as_jnp(ckpt["params"])
         if self.moe and "gate_params" in ckpt:
             self.gate_params = as_jnp(ckpt["gate_params"])
+        if self.ext_params is not None and "ext_params" in ckpt:
+            self.ext_params = as_jnp(ckpt["ext_params"])
         self.trainable = self._bundle_params()
         if "opt_state" in ckpt:
             flat_new, treedef = jax.tree_util.tree_flatten(
@@ -471,6 +541,8 @@ class NeRFSystem:
         }
         if self.moe:
             payload["gate_params"] = self.gate_params
+        if self.ext_params is not None:
+            payload["ext_params"] = self.ext_params
         save_ckpt(
             os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt"), payload
         )
@@ -485,3 +557,43 @@ class NeRFSystem:
                 os.path.join(self.ckpt_dir, f"epoch={epoch}_slim.ckpt"),
                 slim,
             )
+        self.export_video()
+
+    def export_video(self):
+        """Stitch validation frames into rgb.mp4 / depth.mp4 for synthetic
+        NSVF scenes (train.py:331-340: every even PNG is a prediction,
+        every odd one the paired turbo-depth dump)."""
+        h = self.h
+        if (
+            getattr(h, "no_save_test", False)
+            or h.dataset_type != "nsvf"
+            or "Synthetic" not in str(h.root_dir)
+        ):
+            return
+        import glob
+
+        import imageio.v2 as imageio
+
+        # only the final epoch's frames (our dumps are epoch-suffixed,
+        # unlike the reference's overwrite-in-place naming)
+        imgs = sorted(
+            glob.glob(
+                os.path.join(self.val_dir, f"*epoch{h.num_epochs - 1}*.png")
+            )
+        ) or sorted(glob.glob(os.path.join(self.val_dir, "*.png")))
+        if not imgs:
+            return
+        for name, frames in (
+            ("rgb.mp4", imgs[::2]),
+            ("depth.mp4", imgs[1::2]),
+        ):
+            try:
+                imageio.mimsave(
+                    os.path.join(self.val_dir, name),
+                    [imageio.imread(p) for p in frames],
+                    fps=30, macro_block_size=1,
+                )
+            except (ValueError, OSError) as e:  # no ffmpeg backend etc.
+                self.logger.info(f"video export skipped ({e})")
+                return
+        self.logger.info(f"saved rgb.mp4/depth.mp4 to {self.val_dir}")

@@ -171,3 +171,52 @@ class TestDataParallelEquivalence:
         # NOTE exact equality is not expected: the per-device RNG fold-in
         # gives different ray jitters; losses must be close in expectation.
         assert abs(res[1][0] - res[8][0]) / abs(res[1][0]) < 0.5
+
+
+class TestOptimizeExt:
+    def test_pose_refinement_trains(self, scene_root, tmp_path, monkeypatch):
+        """--optimize_ext: per-image dR/dT join the bundle under their own
+        Adam (reference hard-codes lr 1e-8, train.py:143-160) and receive
+        gradients through the Rodrigues pose refinement."""
+        monkeypatch.chdir(tmp_path)
+        import jax
+        import numpy as np
+
+        from radnerf_tpu.train.trainer import NeRFSystem
+
+        system = _shrink(NeRFSystem(HP(scene_root, optimize_ext=True)))
+        assert "ext" in system.trainable
+        system.update_grid(warmup=True)
+        for _ in range(3):
+            system.key, kb, ks = jax.random.split(system.key, 3)
+            batch = system._shard(system.sample_batch_indices(kb))
+            (system.trainable, system.opt_state, loss, aux) = (
+                system.train_step(
+                    system.trainable, system.opt_state, system.model_state,
+                    batch, system.data, ks,
+                )
+            )
+            system.params = system.trainable["model"]
+        dT = np.asarray(system.trainable["ext"]["dT"])
+        assert np.isfinite(dT).all()
+        assert (dT != 0).any()  # gradients flowed into the extrinsics
+        # slim export keeps poses when optimize_ext is set
+        system.params = system.trainable["model"]
+        system.ext_params = system.trainable["ext"]
+        system.save_checkpoint(0)
+        ck = os.path.join(system.ckpt_dir, "epoch=0.ckpt")
+        assert os.path.exists(ck)
+
+    def test_axisangle_identity(self):
+        import numpy as np
+
+        from radnerf_tpu.data.ray_utils import axisangle_to_R
+        from radnerf_tpu.train.trainer import jnp_axisangle_to_R
+
+        v = np.random.default_rng(0).normal(size=(5, 3)).astype(np.float32)
+        got = np.asarray(jnp_axisangle_to_R(v))
+        want = axisangle_to_R(v)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        # zero rotation -> identity (the init point must be exact & finite)
+        z = np.asarray(jnp_axisangle_to_R(np.zeros((1, 3), np.float32)))
+        np.testing.assert_allclose(z[0], np.eye(3), atol=1e-6)
