@@ -1,0 +1,13 @@
+#!/bin/bash
+# Block-NeRF-style baseline on TAT intermediate (reference block_tat.sh).
+source "$(dirname "$0")/_common.sh"
+declare -A SCALE=( [M60]=4 [Playground]=8 [Train]=32 [Truck]=16 )
+for SCENE in M60 Playground Train Truck; do
+python train_other.py \
+    --root_dir $DATA/tanks_and_temples/tat_intermediate_$SCENE \
+    --dataset_type nerfpp --dataset_name tanks_and_temples \
+    --exp_name block_size2 --scene_name $SCENE --downsample 1 \
+    --model_type block --model_zoo_size 2 \
+    --num_epochs 20 --batch_size 8192 --lr 1e-2 \
+    --scale ${SCALE[$SCENE]} --eval_lpips $EXTRA_ARGS
+done
