@@ -129,6 +129,13 @@ def get_parser() -> argparse.ArgumentParser:
                      help='MLP/hash-gather compute dtype (params stay fp32)')
     tpu.add_argument('--val_chunk', type=int, default=65536,
                      help='rays per test-time render chunk')
+    tpu.add_argument('--multihost', action='store_true', default=False,
+                     help='join a multi-host pod slice via '
+                          'jax.distributed.initialize before building the '
+                          'mesh (run one process per host)')
+    tpu.add_argument('--profile_steps', type=int, default=0,
+                     help='capture a jax.profiler trace for this many '
+                          'steps (starting at step 10) into the log dir')
     tpu.add_argument('--host_sampling', action='store_true', default=False,
                      help='sample ray batches on host instead of on device '
                           '(for datasets too large for HBM)')

@@ -13,5 +13,5 @@ distribution is first-class and TPU-native:
 - validation metrics `all_gather`ed per image.
 """
 
-from .mesh import make_mesh  # noqa: F401
+from .mesh import initialize_multihost, make_mesh  # noqa: F401
 from .step import make_train_step, shard_batch  # noqa: F401

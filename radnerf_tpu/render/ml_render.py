@@ -253,18 +253,26 @@ def ml_render_test(
             None, sub_state, cfg, rays_o, rays_d, rcfg, forward_fn=fwd
         )
 
-    res = _stack_results(
-        [
-            render_one(
-                slice_stacked(params["geo"], k),
-                slice_stacked(params["rgb"], k),
-                params["hash_table"]
-                if cfg.shared_encoder else params["hash_table"][k],
-                state["occ"][k],
+    if cfg.shared_encoder:
+        # vmap over the stacked expert axis (lockstep while_loop): one
+        # compiled expert graph instead of K unrolled copies
+        res = jax.vmap(
+            lambda geo_k, rgb_k, occ_k: render_one(
+                geo_k, rgb_k, params["hash_table"], occ_k
             )
-            for k in range(cfg.n_experts)
-        ]
-    )
+        )(params["geo"], params["rgb"], state["occ"])
+    else:
+        res = _stack_results(
+            [
+                render_one(
+                    slice_stacked(params["geo"], k),
+                    slice_stacked(params["rgb"], k),
+                    params["hash_table"][k],
+                    state["occ"][k],
+                )
+                for k in range(cfg.n_experts)
+            ]
+        )
 
     rgb = jnp.einsum("nk,knc->nc", gate, res["rgb"])
     opacity = jnp.einsum("nk,kn->n", gate, res["opacity"])

@@ -144,6 +144,10 @@ class NeRFSystem:
                 log2_T=hparams.hash_table_size,
                 compute_dtype=cdt,
             )
+        if getattr(hparams, "multihost", False):
+            from ..parallel import initialize_multihost
+
+            initialize_multihost()
         self.mesh = make_mesh(getattr(hparams, "num_devices", 0))
         self.n_devices = self.mesh.devices.size
 
@@ -370,9 +374,21 @@ class NeRFSystem:
         check_every = min(h.num_epochs, 10)  # train_ml.py:296
         t_start = time.time()
         rays_done = 0
+        prof_n = getattr(h, "profile_steps", 0)
         for epoch in range(h.num_epochs):
             for _ in range(spe):
                 step = self.global_step
+                if prof_n and step == 10:
+                    from jax import profiler
+
+                    trace_dir = os.path.join(self.writer.logdir, "trace")
+                    profiler.start_trace(trace_dir)
+                    self.logger.info(f"profiler trace -> {trace_dir}")
+                if prof_n and step == 10 + prof_n:
+                    from jax import profiler
+
+                    profiler.stop_trace()
+                    self.logger.info("profiler trace done")
                 if step % UPDATE_INTERVAL == 0:
                     self.update_grid(warmup=step < h.warmup_steps)
                 self.key, k_batch, k_step = jax.random.split(self.key, 3)

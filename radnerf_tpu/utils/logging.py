@@ -46,6 +46,7 @@ class MetricWriter:
     plus a jsonl mirror that survives environments without TB."""
 
     def __init__(self, log_dir: str):
+        self.logdir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         try:
