@@ -73,21 +73,24 @@ def init_mngp_state(cfg: MNGPConfig, bbox: np.ndarray | None = None) -> dict:
     }
 
 
-def _encode(params, state, cfg: MNGPConfig, x: jnp.ndarray, ind=None):
+def _encode(params, state, cfg: MNGPConfig, x: jnp.ndarray, ind=None,
+            impl: str | None = None):
     xn = (x - state["xyz_min"]) / (state["xyz_max"] - state["xyz_min"])
     xn = jnp.clip(xn, 0.0, 1.0)
     table = params["hash_table"]
     if not cfg.shared_encoder:
         table = table[ind]
-    return encode_dispatch(table, xn, cfg.hash, cfg.cdtype, cfg.hash_impl)
+    return encode_dispatch(
+        table, xn, cfg.hash, cfg.cdtype, impl or cfg.hash_impl
+    )
 
 
 def mngp_density_expert(
     params: dict, state: dict, cfg: MNGPConfig, x: jnp.ndarray, ind,
-    return_feat: bool = False,
+    return_feat: bool = False, impl: str | None = None,
 ):
     """sigma(x) of one expert (networks.py:291-309). `ind` may be traced."""
-    feat = _encode(params, state, cfg, x, ind)
+    feat = _encode(params, state, cfg, x, ind, impl=impl)
     h = apply_mlp(
         slice_stacked(params["geo"], ind), feat, compute_dtype=cfg.cdtype
     )
@@ -190,14 +193,17 @@ def mngp_update_density_grids(
     decay: float = 0.95,
 ) -> dict:
     """Update all K per-expert grids (networks.py:374-409) via vmap."""
+    from ..ops.hashgrid import incoherent_impl
+
     keys = jax.random.split(key, cfg.n_experts)
+    impl = incoherent_impl(cfg.hash_impl)
 
     def one(k, grid_k, occ_k, ind):
         sub_state = {**state, "density_grid": grid_k, "occ": occ_k}
         new = update_density_grid(
             params, sub_state, cfg, k, density_threshold, warmup, decay,
             density_fn=lambda x: mngp_density_expert(
-                params, state, cfg, x, ind
+                params, state, cfg, x, ind, impl=impl
             ),
         )
         return new["density_grid"], new["occ"]

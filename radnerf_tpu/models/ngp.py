@@ -122,12 +122,14 @@ def ngp_density(
     cfg: NGPConfig,
     x: jnp.ndarray,
     return_feat: bool = False,
+    impl: str | None = None,
 ):
     """sigma(x) (networks.py:91-108). x: (N, 3) in world coords."""
     xn = (x - state["xyz_min"]) / (state["xyz_max"] - state["xyz_min"])
     xn = jnp.clip(xn, 0.0, 1.0)
     feat = encode_dispatch(
-        params["hash_table"], xn, cfg.hash, cfg.cdtype, cfg.hash_impl
+        params["hash_table"], xn, cfg.hash, cfg.cdtype,
+        impl or cfg.hash_impl,
     )
     h = apply_mlp(params["geo"], feat, compute_dtype=cfg.cdtype)
     sigmas = trunc_exp(h[:, 0])
@@ -226,7 +228,12 @@ def update_density_grid(
     """
     C, G = cfg.cascades, cfg.grid_size
     if density_fn is None:
-        density_fn = lambda x: ngp_density(params, state, cfg, x)
+        # grid cells are spatially incoherent draws -> windowed impl
+        from ..ops.hashgrid import incoherent_impl
+
+        density_fn = lambda x: ngp_density(
+            params, state, cfg, x, impl=incoherent_impl(cfg.hash_impl)
+        )
 
     grid = state["density_grid"]
     tmp = jnp.zeros_like(grid)

@@ -286,6 +286,25 @@ def hashgrid_encode_packed(
     return _cm_out(jnp.sum(wc * f0, axis=1), jnp.sum(wc * f1, axis=1))
 
 
+def resolve_impl(impl: str) -> str:
+    """'auto' -> the measured-fastest backend for ray-ordered samples."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    # TPU backends register as 'tpu' or (via the axon relay) 'axon'
+    return "dedup" if jax.default_backend() != "cpu" else "xla"
+
+
+def incoherent_impl(impl: str) -> str:
+    """Best impl for spatially-INCOHERENT point sets (density-grid updates
+    sample random cells, networks.py:142-169): the run-length dedup would
+    always overflow to its fallback and waste its per-level sorts, so route
+    straight to the windowed-scatter path."""
+    r = resolve_impl(impl)
+    return "window" if r == "dedup" else r
+
+
 def encode_dispatch(
     table: jnp.ndarray,
     x: jnp.ndarray,
@@ -297,14 +316,17 @@ def encode_dispatch(
       'xla'    — autodiff scatter-add (serializes on TPU; fine on CPU)
       'pallas' — round-1 serial row-RMW Pallas kernel (~33M upd/s)
       'sort'   — lax.sort + sorted-hint scatter (pure XLA, ~80M upd/s)
-      'window' — lax.sort + windowed dense Pallas accumulation (fastest)
-      'auto'   — 'window' on TPU, 'xla' elsewhere.
+      'window' — lax.sort + windowed dense Pallas accumulation
+      'dedup'  — ray-coherent run-length dedup fw/bw on top of 'window'
+                 (fastest; exploits sample adjacency along rays)
+      'auto'   — 'dedup' on TPU, 'xla' elsewhere.
     Measured comparison: examples/bench_scatter.py."""
     if impl == "auto":
-        import jax
+        impl = resolve_impl(impl)
+    if impl == "dedup":
+        from .hashgrid_dedup import hashgrid_encode_dedup
 
-        # TPU backends register as 'tpu' or (via the axon relay) 'axon'
-        impl = "window" if jax.default_backend() != "cpu" else "xla"
+        return hashgrid_encode_dedup(table, x, cfg, compute_dtype)
     if impl == "window":
         from .hashgrid_window import hashgrid_encode_window
 

@@ -211,6 +211,22 @@ def _compact_keep(t, dt, keep, S):
     return ts, deltas, valid, n_samples
 
 
+def _lattice_candidates(rays_o, rays_d, t1, t2, cfg, noise):
+    """Shared candidate generation: jittered start, closed-form lattice,
+    per-candidate dt/xyz and the in-range mask. Returns (t, dt, xyz,
+    in_range), all (N, K[, 3])."""
+    K = cfg.k_candidates
+    t1 = t1.astype(jnp.float32)
+    if noise is not None:
+        t1 = jnp.where(t1 >= 0, t1 + calc_dt(t1, cfg) * noise, t1)
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    t = sample_lattice(t1[:, None], k, cfg)
+    dt = calc_dt(t, cfg)
+    in_range = (t1[:, None] >= 0) & (t >= 0) & (t < t2[:, None])
+    xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+    return t, dt, xyz, in_range
+
+
 def march_rays_train_flat(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -236,20 +252,65 @@ def march_rays_train_flat(
 
     Returns dict: ts/deltas/ray_id/valid (B,), offsets/n_samples (N,).
     """
-    N = rays_o.shape[0]
-    K = cfg.k_candidates
-    B = N * budget_per_ray
-
-    t1 = t1.astype(jnp.float32)
-    if noise is not None:
-        t1 = jnp.where(t1 >= 0, t1 + calc_dt(t1, cfg) * noise, t1)
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]
-    t = sample_lattice(t1[:, None], k, cfg)
-    dt = calc_dt(t, cfg)
-    in_range = (t1[:, None] >= 0) & (t >= 0) & (t < t2[:, None])
-    xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+    t, dt, xyz, in_range = _lattice_candidates(
+        rays_o, rays_d, t1, t2, cfg, noise
+    )
     keep = in_range & occupancy_lookup(xyz, dt, occ_grid, cfg)
+    m, _ = _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray)
+    return m
 
+
+def march_rays_union_flat(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t1: jnp.ndarray,
+    t2: jnp.ndarray,
+    occ_grids: jnp.ndarray,
+    cfg: MarchConfig,
+    noise: jnp.ndarray | None = None,
+    budget_per_ray: int = 64,
+) -> tuple[dict, jnp.ndarray]:
+    """Flat marching against K occupancy grids at once (MoE union sampling).
+
+    The reference renders each of the K sub-NeRFs independently — K full
+    marches of the SAME rays on the SAME step lattice, differing only in
+    which samples each expert's bitfield keeps (ml_rendering.py:47-68).
+    With a shared start jitter the K sample sets are subsets of one lattice,
+    so we march ONCE against the union of the bitfields and record per-expert
+    membership. The (expensive, shared-encoder) hash encode then runs on
+    |union| samples instead of sum_k |expert_k| — close to a K-fold saving
+    when the grids agree.
+
+    Deliberate deviation (documented): the reference draws independent start
+    jitter per expert; here the jitter is shared so the lattices coincide.
+    The jitter is plain stratified sampling, so this only correlates the
+    experts' Monte-Carlo noise — per-expert marginals are unchanged.
+
+    Returns (march_dict, member) where march_dict is the usual flat layout
+    over the union and member is (K, B) bool — sample b belongs to expert k
+    (i.e. expert k's own march would have produced it).
+    """
+    t, dt, xyz, in_range = _lattice_candidates(
+        rays_o, rays_d, t1, t2, cfg, noise
+    )
+    keep_k = jax.vmap(
+        lambda occ: occupancy_lookup(xyz, dt, occ, cfg)
+    )(occ_grids)                                   # (K, N, Kc)
+    keep = in_range & jnp.any(keep_k, axis=0)
+    m, flat_sel = _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray)
+    member = jax.vmap(
+        lambda kk: jnp.take(kk.reshape(-1), flat_sel)
+    )(keep_k) & m["valid"][None, :]
+    return m, member
+
+
+def _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray):
+    """Compact kept lattice candidates into the flat (static-CSR) buffer.
+
+    Returns (march_dict, flat_sel) where flat_sel (B,) is each slot's index
+    into the flattened (N*K,) candidate array (for membership lookups)."""
+    N, K = keep.shape
+    B = N * budget_per_ray
     within = jnp.cumsum(keep.astype(jnp.int32), axis=1)
     n_r = jnp.minimum(within[:, -1], cfg.samples_per_ray)
     total = jnp.sum(n_r)
@@ -301,7 +362,7 @@ def march_rays_train_flat(
         "cap": cap,
         "n_samples": cap,
         "total": total_c,
-    }
+    }, flat
 
 
 def march_rays_test_block(

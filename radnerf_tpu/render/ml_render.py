@@ -27,7 +27,11 @@ from ..models.mlp import apply_mlp, slice_stacked
 from ..models.mngp import MNGPConfig, _encode, expert_forward_fn
 from ..ops.compositing import composite_train, composite_train_flat
 from ..ops.intersection import scene_near_far
-from ..ops.marching import march_rays_train, march_rays_train_flat
+from ..ops.marching import (
+    march_rays_train,
+    march_rays_train_flat,
+    march_rays_union_flat,
+)
 from ..ops.sh import sh_encode_dir
 from ..ops.trunc_exp import trunc_exp
 from ..models.ngp import scene_center_half
@@ -55,6 +59,78 @@ def _gate_input(rays_o, rays_d, imgs_d, gate_type: str) -> jnp.ndarray:
     return jnp.concatenate([rays_o, rays_d], axis=1)
 
 
+def _expert_samples_union_flat(
+    params, state, cfg: MNGPConfig, rays_o, rays_d, t1, t2, mcfg, rcfg,
+    d_enc_ray, k_noise, k_bg,
+) -> dict:
+    """Union-of-experts sampling: ONE march + ONE hash encode for all K
+    experts (see ops.marching.march_rays_union_flat for semantics).
+
+    The per-expert render of sample b is recovered exactly by masking sigma
+    to that expert's membership: a non-member sample has alpha = 0 and so
+    contributes nothing and leaves transmittance untouched — identical to it
+    never having been marched (volumerendering.cu:28-44 semantics). Cuts the
+    dominant cost (the shared hash encode, networks.py:234-247) by ~K x.
+    """
+    K, N = cfg.n_experts, rays_o.shape[0]
+    noise = jax.random.uniform(k_noise, (N,))
+    m, member = march_rays_union_flat(
+        rays_o, rays_d, t1, t2, state["occ"], mcfg, noise,
+        budget_per_ray=rcfg.budget_per_ray,
+    )
+    rid = m["ray_id"]                                    # (B,)
+    o = jnp.take(rays_o, rid, axis=0)
+    d = jnp.take(rays_d, rid, axis=0)
+    xyz = o + m["ts"][:, None] * d                       # (B, 3)
+    d_enc = jnp.take(d_enc_ray, rid, axis=0)             # (B, sh)
+
+    feat = _encode(params, state, cfg, xyz)              # ONCE for all K
+    h = jax.vmap(
+        lambda p: apply_mlp(p, feat, compute_dtype=cfg.cdtype)
+    )(params["geo"])                                     # (K, B, 1+geo_out)
+    sigmas = jnp.where(member, trunc_exp(h[..., 0]), 0.0)
+    rgb_in = jnp.concatenate(
+        [jnp.broadcast_to(d_enc[None], (K,) + d_enc.shape), h[..., 1:]],
+        axis=-1,
+    )
+    rgbs = jax.vmap(
+        lambda p, f: apply_mlp(
+            p, f, out_act=cfg.rgb_act.lower(), compute_dtype=cfg.cdtype
+        )
+    )(params["rgb"], rgb_in).astype(jnp.float32)         # (K, B, 3)
+
+    out = jax.vmap(
+        lambda s_k, r_k, v_k: composite_train_flat(
+            s_k, r_k, m["deltas"], m["ts"], rid, m["offsets"], m["cap"],
+            v_k, T_threshold=rcfg.T_threshold,
+        )
+    )(sigmas, rgbs, member)
+
+    bgs = jax.vmap(lambda kk: background_color(rcfg, kk))(
+        jax.random.split(k_bg, K)
+    )
+    rgb = out["rgb"] + bgs[:, None, :] * (1.0 - out["opacity"][..., None])
+
+    def rep(a):  # shared union arrays -> per-expert (K, ...) interface
+        return jnp.broadcast_to(a[None], (K,) + a.shape)
+
+    return {
+        "rgb": rgb,
+        "depth": out["depth"],
+        "opacity": out["opacity"],
+        "ws": out["ws"],
+        "ts": rep(m["ts"]),
+        "deltas": rep(m["deltas"]),
+        "valid": member,
+        "ray_id": rep(rid),
+        "offsets": rep(m["offsets"]),
+        "cap": rep(m["cap"]),
+        "n_samples": rep(m["n_samples"]),
+        "rm_samples": jnp.sum(member.astype(jnp.int32)),
+        "total_samples": jnp.sum(out["vr_samples"]),
+    }
+
+
 def _expert_samples_shared(
     params, state, cfg: MNGPConfig, rays_o, rays_d, key, rcfg: RenderConfig
 ) -> dict:
@@ -76,6 +152,11 @@ def _expert_samples_shared(
     noises = jax.random.uniform(k_noise, (K, N))
     d_enc_ray = sh_encode_dir(rays_d, cfg.sh_degree).astype(cfg.cdtype)
 
+    if rcfg.layout == "flat" and rcfg.union_sampling:
+        return _expert_samples_union_flat(
+            params, state, cfg, rays_o, rays_d, t1, t2, mcfg, rcfg,
+            d_enc_ray, k_noise, k_bg,
+        )
     if rcfg.layout == "flat":
         march = jax.vmap(
             lambda occ_k, nz: march_rays_train_flat(

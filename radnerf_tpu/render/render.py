@@ -47,6 +47,9 @@ class RenderConfig:
     test_k_block: int = 256            # lattice candidates examined per iter
     layout: str = "dense"              # "dense" (N, S) | "flat" static CSR
     budget_per_ray: int = 64           # flat layout: B = N * budget_per_ray
+    # MoE: march/encode the union of the K experts' samples once instead of
+    # K independent renders (shared start jitter; see march_rays_union_flat)
+    union_sampling: bool = True
 
     def march(self, cfg: NGPConfig) -> MarchConfig:
         return MarchConfig(
