@@ -35,9 +35,14 @@ from radnerf_tpu.ops.hashgrid_window import (  # noqa: E402
 from radnerf_tpu.utils import enable_compilation_cache  # noqa: E402
 
 
-def ray_stream(n_rays, per_ray, seed=0, occupied_frac=0.5):
-    """Samples like march_rays_union_flat output: per-ray runs of
-    consecutive lattice points with random skip gaps."""
+def ray_stream(n_rays, per_ray, seed=0, mode="contiguous", n_segments=3):
+    """Samples like march_rays_union_flat output.
+
+    mode 'contiguous': each ray's occupied samples form a few contiguous
+    lattice segments (what a real occupancy grid produces — inside an
+    occupied region every lattice point is kept). mode 'scattered':
+    adversarial — random lattice points across the whole ray (what a
+    near-converged surface-only grid at low budget approaches)."""
     rng = np.random.default_rng(seed)
     o = rng.normal(size=(n_rays, 3))
     o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.2
@@ -45,12 +50,22 @@ def ray_stream(n_rays, per_ray, seed=0, occupied_frac=0.5):
     d = tgt - o
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     dt = np.sqrt(3.0) / 1024
-    # choose occupied lattice indices: contiguous-ish chunks
-    ks = np.sort(
-        rng.choice(
-            int(1.0 / dt), size=(n_rays, per_ray), replace=True
-        ), axis=1,
-    )
+    span = int(1.0 / dt)
+    if mode == "scattered":
+        ks = np.sort(
+            rng.choice(span, size=(n_rays, per_ray), replace=True), axis=1
+        )
+    else:
+        seg_len = per_ray // n_segments
+        starts = np.sort(
+            rng.integers(0, span - seg_len, (n_rays, n_segments)), axis=1
+        )
+        ks = (
+            starts[:, :, None] + np.arange(seg_len)[None, None, :]
+        ).reshape(n_rays, -1)
+        ks = np.pad(
+            ks, ((0, 0), (0, per_ray - ks.shape[1])), mode="edge"
+        )
     t = 0.7 + ks * dt
     x = o[:, None, :] + t[..., None] * d[:, None, :]
     x = 0.5 + x  # center box [-.5,.5] -> [0,1]
@@ -76,6 +91,8 @@ def main():
     ap.add_argument("--per_ray", type=int, default=48)
     ap.add_argument("--log2_T", type=int, default=19)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--mode", type=str, default="contiguous",
+                    choices=["contiguous", "scattered"])
     args = ap.parse_args()
     enable_compilation_cache()
     print(f"# devices: {jax.devices()}", file=sys.stderr)
@@ -88,7 +105,7 @@ def main():
         per_level_scale=cfg.per_level_scale,
     )
     table = init_hashgrid_table(jax.random.PRNGKey(0), cfg)
-    x = ray_stream(args.n_rays, args.per_ray)
+    x = ray_stream(args.n_rays, args.per_ray, mode=args.mode)
     N = x.shape[0]
     print(f"# stream: {N} samples, {N*cfg.n_levels*8/1e6:.1f}M corner "
           f"issues undeduped", file=sys.stderr)
@@ -137,11 +154,17 @@ def main():
             )(t)
         return f
 
+    def fw_dedup_dgrad(t):
+        return hashgrid_encode_dedup(
+            t, x, cfg, jnp.bfloat16, grad_impl="dedup"
+        )
+
     for name, fn in (
         ("window fw  ", jax.jit(fw_window)),
         ("dedup  fw  ", jax.jit(fw_dedup)),
         ("window fwbw", jax.jit(fwbw(fw_window))),
-        ("dedup  fwbw", jax.jit(fwbw(fw_dedup))),
+        ("hybrid fwbw", jax.jit(fwbw(fw_dedup))),
+        ("dgrad  fwbw", jax.jit(fwbw(fw_dedup_dgrad))),
     ):
         dt, s = timeit(fn, table, iters=args.iters)
         print(f"{name}: {dt*1e3:8.2f} ms   ({N*cfg.n_levels*8/dt/1e6:7.1f}"

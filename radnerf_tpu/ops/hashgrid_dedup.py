@@ -399,7 +399,7 @@ def hashgrid_table_grad_dedup(
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_dedup(cfg: HashGridConfig, compute_dtype_name: str,
-                      block: int, interpret: bool):
+                      block: int, interpret: bool, grad_impl: str):
     compute_dtype = jnp.dtype(compute_dtype_name)
     caps = level_caps(cfg, block)
 
@@ -414,10 +414,24 @@ def _make_fused_dedup(cfg: HashGridConfig, compute_dtype_name: str,
 
     def bwd(res, g):
         x, dtype_token = res
-        dtable = hashgrid_table_grad_dedup(
-            x, g.astype(jnp.float32), cfg, block, caps,
-            interpret=interpret,
-        )
+        if grad_impl == "dedup":
+            dtable = hashgrid_table_grad_dedup(
+                x, g.astype(jnp.float32), cfg, block, caps,
+                interpret=interpret,
+            )
+        else:
+            # measured on v5e: ONE full-stream sort + ONE windowed Pallas
+            # scatter beats the per-group reduced-stream scatters (the
+            # kernel cost is window-walk-overhead-bound, not stream-bound;
+            # examples/bench_dedup.py) — so the default backward ignores
+            # the dedup structure and reuses hashgrid_window's path.
+            from .hashgrid import hashgrid_indices_cm
+            from .hashgrid_window import hashgrid_table_grad_window
+
+            idx, w = hashgrid_indices_cm(x, cfg)
+            dtable = hashgrid_table_grad_window(
+                idx, w, g.astype(jnp.float32), cfg, interpret=interpret
+            )
         return dtable.astype(dtype_token.dtype), jnp.zeros_like(x)
 
     fused.defvjp(fwd, bwd)
@@ -431,13 +445,17 @@ def hashgrid_encode_dedup(
     compute_dtype=jnp.bfloat16,
     block: int = BLOCK,
     interpret: bool = False,
+    grad_impl: str = "window",
 ) -> jnp.ndarray:
-    """Run-dedup hash-grid encode with the reduced-stream windowed backward.
+    """Run-dedup hash-grid encode forward + windowed-scatter backward.
 
-    Bit-identical to ops.hashgrid.hashgrid_encode(...) at the same compute
-    dtype (dedup merges only exactly-equal voxel coords; overflow falls
-    back). No gradient to x (matching the reference, where RayMarcher's
-    position gradients are never consumed, custom_functions.py:102-112)."""
+    Numerically identical to ops.hashgrid.hashgrid_encode(...) at the same
+    compute dtype (dedup merges only exactly-equal voxel coords; overflow
+    falls back). grad_impl: 'window' (default; full-stream sort + scatter)
+    or 'dedup' (per-group reduced-stream — slower on v5e, kept for
+    comparison). No gradient to x (matching the reference, where
+    RayMarcher's position gradients are never consumed,
+    custom_functions.py:102-112)."""
     return _make_fused_dedup(
-        cfg, jnp.dtype(compute_dtype).name, block, interpret
+        cfg, jnp.dtype(compute_dtype).name, block, interpret, grad_impl
     )(table, x)

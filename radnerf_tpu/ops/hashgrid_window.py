@@ -59,44 +59,50 @@ def _window_scatter_kernel(sk_ref, s0_ref, s1_ref, out_ref):
 
     sk_ref:      (1, 1, TILE_SUB, LANES) int32 — sorted rows of this tile
                  (row-major flattening preserves sorted order; only the
-                 min/max — the static first/last elements — are read as
-                 scalars, the set is consumed whole by vector ops).
+                 min/max — static first/last elements of each sub-row —
+                 are read as scalars, the set is consumed by vector ops).
     s0/s1_ref:   (1, 1, TILE_SUB, LANES) f32 — feature-0/1 update values.
     out_ref:     (1, slab_rows, LANES) f32 — the level's gradient slab,
                  VMEM-resident across update tiles (index map ignores p).
                  Flat feature position of (row r, feature f) = 2r + f.
+
+    The tile is processed in TILE_SUB sub-rows of LANES sorted updates:
+    each sub-row only walks the windows IT spans, and its per-window
+    two-hot build is (LANES, WIN_FLAT) = 16k lanes instead of the whole
+    tile's 131k — a ~5x cut in VPU work for streams that touch many table
+    rows (the fine hashed levels), where the window count is bound by the
+    touched-row range rather than the update count.
     """
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    sk = sk_ref[0, 0]                    # (TILE_SUB, LANES)
-    r_lo = sk_ref[0, 0, 0, 0]
-    r_hi = sk_ref[0, 0, TILE_SUB - 1, LANES - 1]
-    base0 = (r_lo >> 6) << 6             # align to slab sublane (64 rows)
-    n_win = ((r_hi - base0) >> 6) + 1
-
-    sk3 = sk[:, :, None]                 # (TILE_SUB, LANES, 1)
-    # flat in-window position of feature 0 of each update: 2*(row-base)
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, WIN_FLAT), 2)
-    j_row = j >> 1
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_FLAT), 1)
+    j_row = j >> 1                       # (1, WIN_FLAT)
     j_odd = (j & 1) == 1
-    val = jnp.where(
-        j_odd, s1_ref[0, 0][:, :, None], s0_ref[0, 0][:, :, None]
-    )                                    # (TILE_SUB, LANES, WIN_FLAT)
 
-    def body(w, _):
-        base = base0 + w * W_ROWS
-        m = jnp.where(sk3 - base == j_row, val, 0.0)
-        contrib = jnp.sum(m, axis=(0, 1)).reshape(1, WIN_FLAT)
-        sub = base >> 6                  # slab sublane = 2*base/LANES
-        out_ref[0, pl.ds(sub, 1), :] = (
-            out_ref[0, pl.ds(sub, 1), :] + contrib
-        )
-        return 0
+    for s in range(TILE_SUB):
+        sk_s = sk_ref[0, 0, s, :][:, None]      # (LANES, 1)
+        val = jnp.where(
+            j_odd, s1_ref[0, 0, s, :][:, None], s0_ref[0, 0, s, :][:, None]
+        )                                        # (LANES, WIN_FLAT)
+        r_lo = sk_ref[0, 0, s, 0]
+        r_hi = sk_ref[0, 0, s, LANES - 1]
+        base0 = (r_lo >> 6) << 6         # align to slab sublane (64 rows)
+        n_win = ((r_hi - base0) >> 6) + 1
 
-    jax.lax.fori_loop(0, n_win, body, 0)
+        def body(w, _, sk_s=sk_s, val=val, base0=base0):
+            base = base0 + w * W_ROWS
+            m = jnp.where(sk_s - base == j_row, val, 0.0)
+            contrib = jnp.sum(m, axis=0).reshape(1, WIN_FLAT)
+            sub = base >> 6              # slab sublane = 2*base/LANES
+            out_ref[0, pl.ds(sub, 1), :] = (
+                out_ref[0, pl.ds(sub, 1), :] + contrib
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
 
 
 def sorted_table_grad_window(
@@ -117,9 +123,13 @@ def sorted_table_grad_window(
     assert T % W_ROWS == 0
     pad = (-n) % TILE
     if pad:
-        # pad with zero-valued updates aimed at the last row: keys stay
-        # sorted (T-1 >= every key) and the contribution is exactly 0
-        sk = jnp.pad(sk, ((0, 0), (0, pad)), constant_values=T - 1)
+        # pad with zero-valued updates aimed at each level's LAST real key:
+        # keys stay sorted, the contribution is exactly 0, and the final
+        # tile's window walk stays within the touched row range (padding
+        # at T-1 would make it scan to the table end)
+        sk = jnp.concatenate(
+            [sk, jnp.broadcast_to(sk[:, -1:], (L, pad))], axis=1
+        )
         s0 = jnp.pad(s0, ((0, 0), (0, pad)))
         s1 = jnp.pad(s1, ((0, 0), (0, pad)))
     n_pad = n + pad

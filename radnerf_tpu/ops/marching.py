@@ -293,14 +293,17 @@ def march_rays_union_flat(
     t, dt, xyz, in_range = _lattice_candidates(
         rays_o, rays_d, t1, t2, cfg, noise
     )
-    keep_k = jax.vmap(
-        lambda occ: occupancy_lookup(xyz, dt, occ, cfg)
-    )(occ_grids)                                   # (K, N, Kc)
-    keep = in_range & jnp.any(keep_k, axis=0)
+    # candidate test against the UNION grid only (one gather per candidate
+    # instead of K); per-expert membership is then resolved with K gathers
+    # over just the B compacted samples — ~20x fewer occupancy lookups
+    occ_union = jnp.any(occ_grids, axis=0)
+    keep = in_range & occupancy_lookup(xyz, dt, occ_union, cfg)
     m, flat_sel = _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray)
+    sel_dt = jnp.take(dt.reshape(-1), flat_sel)
+    sel_xyz = jnp.take(xyz.reshape(-1, 3), flat_sel, axis=0)
     member = jax.vmap(
-        lambda kk: jnp.take(kk.reshape(-1), flat_sel)
-    )(keep_k) & m["valid"][None, :]
+        lambda occ: occupancy_lookup(sel_xyz, sel_dt, occ, cfg)
+    )(occ_grids) & m["valid"][None, :]
     return m, member
 
 

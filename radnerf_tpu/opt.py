@@ -133,6 +133,11 @@ def get_parser() -> argparse.ArgumentParser:
                      help='join a multi-host pod slice via '
                           'jax.distributed.initialize before building the '
                           'mesh (run one process per host)')
+    tpu.add_argument('--ckpt_backend', type=str, default='pickle',
+                     choices=['pickle', 'orbax'],
+                     help='full-checkpoint format: single-file pickle or '
+                          'async orbax directory (training never blocks '
+                          'on serialization)')
     tpu.add_argument('--profile_steps', type=int, default=0,
                      help='capture a jax.profiler trace for this many '
                           'steps (starting at step 10) into the log dir')

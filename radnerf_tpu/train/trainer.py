@@ -559,11 +559,19 @@ class NeRFSystem:
             payload["gate_params"] = self.gate_params
         if self.ext_params is not None:
             payload["ext_params"] = self.ext_params
-        save_ckpt(
-            os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt"), payload
-        )
+        path = os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt")
+        if getattr(self.h, "ckpt_backend", "pickle") == "orbax":
+            if not hasattr(self, "_orbax_writer"):
+                from ..utils.ckpt import OrbaxAsyncWriter
+
+                self._orbax_writer = OrbaxAsyncWriter()
+            self._orbax_writer.save(path, payload)
+        else:
+            save_ckpt(path, payload)
 
     def export_slim(self, epoch: int):
+        if hasattr(self, "_orbax_writer"):
+            self._orbax_writer.wait_until_finished()
         path = os.path.join(self.ckpt_dir, f"epoch={epoch}.ckpt")
         if os.path.exists(path):
             slim = slim_ckpt(

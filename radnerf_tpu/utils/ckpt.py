@@ -5,8 +5,14 @@ model state (density grids), step, hparams}; `slim_ckpt` strips everything
 but params (+ optionally poses) for distribution; `load_ckpt` supports
 partial, prefix-scoped warm starts (--weight_path).
 
-Format: orbax PyTree checkpointing (async-capable, multi-host safe) with a
-msgpack-free layout; a directory per checkpoint.
+Two on-disk formats, transparently distinguished by `load_ckpt`:
+  - single-file pickle (the portable default; slim exports always use it);
+  - an orbax PyTree checkpoint DIRECTORY written by `OrbaxAsyncWriter`
+    (--ckpt_backend orbax): the device->host copy is synchronous but
+    (de)serialization runs in orbax's background thread, so training never
+    blocks on disk — the TPU-native answer to PL's ModelCheckpoint
+    (train.py:296-301) for large hash tables. hparams (a plain dict of
+    Python values) ride in a pickle sidecar inside the directory.
 """
 
 from __future__ import annotations
@@ -18,20 +24,63 @@ from typing import Any
 import jax
 import numpy as np
 
-
 def _to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
 def save_ckpt(path: str, payload: dict) -> None:
-    """Save a pytree checkpoint. `payload` typically contains
+    """Save a single-file pickle checkpoint. `payload` typically contains
     params / gate_params / opt_state / model_state / step / hparams."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(_to_numpy(payload), f, protocol=4)
 
 
+class OrbaxAsyncWriter:
+    """Async checkpoint writer over orbax (one in-flight save at a time).
+
+    save() returns as soon as arrays are copied to host; call
+    wait_until_finished() (or rely on the next save / interpreter exit)
+    before reading the checkpoint back."""
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ck = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+
+    def save(self, path: str, payload: dict) -> None:
+        payload = dict(payload)
+        hparams = payload.pop("hparams", None)
+        self._ck.save(
+            os.path.abspath(path), _to_numpy(payload), force=True
+        )
+        # sidecar lives NEXT TO the directory: orbax materializes `path`
+        # itself by an atomic rename when the background write commits
+        if hparams is not None:
+            with open(path + ".hparams.pkl", "wb") as f:
+                pickle.dump(hparams, f, protocol=4)
+
+    def wait_until_finished(self) -> None:
+        self._ck.wait_until_finished()
+
+    def close(self) -> None:
+        self._ck.close()
+
+
 def load_ckpt(path: str) -> dict:
+    """Load either format (orbax checkpoints are directories)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        out = dict(
+            ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        )
+        sidecar = path + ".hparams.pkl"
+        if os.path.exists(sidecar):
+            with open(sidecar, "rb") as f:
+                out["hparams"] = pickle.load(f)
+        return out
     with open(path, "rb") as f:
         return pickle.load(f)
 
