@@ -430,7 +430,8 @@ def _make_fused_dedup(cfg: HashGridConfig, compute_dtype_name: str,
 
             idx, w = hashgrid_indices_cm(x, cfg)
             dtable = hashgrid_table_grad_window(
-                idx, w, g.astype(jnp.float32), cfg, interpret=interpret
+                idx, w, g.astype(jnp.float32), cfg, interpret=interpret,
+                pack_f16=(compute_dtype == jnp.bfloat16),
             )
         return dtable.astype(dtype_token.dtype), jnp.zeros_like(x)
 

@@ -171,12 +171,19 @@ def hashgrid_table_grad_window(
     g: jnp.ndarray,
     cfg: HashGridConfig,
     interpret: bool = False,
+    pack_f16: bool = True,
 ) -> jnp.ndarray:
     """dL/dtable: sort the update stream, then windowed dense accumulation.
 
     Args:
         idx: (L, 8, N) int32 corner rows (corner-major, full-width);
         w: (L, 8, N) weights; g: (N, L*F) output cotangent (level-major).
+        pack_f16: carry the two per-update values as f16x2 in ONE u32 sort
+            payload instead of two f32 payloads — ~25% faster sort. The
+            per-update rounding matches the reference's fp16 gradient
+            accumulation (tcnn accumulates hash-table grads with half2
+            atomics under AMP, train.py:318); the window kernel still
+            ACCUMULATES in f32. Set False for f32-exact gradients (tests).
     """
     L, _, N = idx.shape
     T, F = cfg.table_size, cfg.n_features
@@ -187,10 +194,29 @@ def hashgrid_table_grad_window(
     w32 = w.astype(jnp.float32)
     v0 = (w32 * gt[:, 0, None, :]).reshape(L, n)
     v1 = (w32 * gt[:, 1, None, :]).reshape(L, n)
-    sk, s0, s1 = jax.lax.sort(
-        (idx.reshape(L, n), v0, v1), dimension=-1, num_keys=1,
-        is_stable=False,
-    )
+    if pack_f16:
+        h0 = jax.lax.bitcast_convert_type(
+            v0.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        h1 = jax.lax.bitcast_convert_type(
+            v1.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        packed = h0 | (h1 << jnp.uint32(16))
+        sk, sp = jax.lax.sort(
+            (idx.reshape(L, n), packed), dimension=-1, num_keys=1,
+            is_stable=False,
+        )
+        s0 = jax.lax.bitcast_convert_type(
+            (sp & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        s1 = jax.lax.bitcast_convert_type(
+            (sp >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+    else:
+        sk, s0, s1 = jax.lax.sort(
+            (idx.reshape(L, n), v0, v1), dimension=-1, num_keys=1,
+            is_stable=False,
+        )
     return sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
 
 
@@ -218,7 +244,11 @@ def _make_fused_window(cfg: HashGridConfig, compute_dtype_name: str,
         x, dtype_token = res
         idx, w = hashgrid_indices_cm(x, cfg)  # rematerialized
         dtable = hashgrid_table_grad_window(
-            idx, w, g.astype(jnp.float32), cfg, interpret=interpret
+            idx, w, g.astype(jnp.float32), cfg, interpret=interpret,
+            # f16-packed sort payloads only in reduced-precision training
+            # (matches the reference's AMP grad accumulation); f32 compute
+            # keeps f32-exact gradients
+            pack_f16=(compute_dtype == jnp.bfloat16),
         )
         return dtable.astype(dtype_token.dtype), jnp.zeros_like(x)
 

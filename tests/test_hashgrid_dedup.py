@@ -129,3 +129,26 @@ def test_custom_vjp_end_to_end():
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6
     )
+
+
+def test_packed_f16_grad_matches_f32():
+    """f16x2-packed sort payloads: per-update rounding only (the window
+    kernel still accumulates f32) — grads must track the f32-exact path
+    to ~f16 relative precision."""
+    from radnerf_tpu.ops.hashgrid import hashgrid_indices_cm
+    from radnerf_tpu.ops.hashgrid_window import hashgrid_table_grad_window
+
+    pts = ray_like_points()
+    g = 0.01 * jax.random.normal(
+        jax.random.PRNGKey(5), (pts.shape[0], CFG.out_dim)
+    )
+    idx, w = hashgrid_indices_cm(pts, CFG)
+    exact = np.asarray(hashgrid_table_grad_window(
+        idx, w, g, CFG, interpret=True, pack_f16=False
+    ))
+    packed = np.asarray(hashgrid_table_grad_window(
+        idx, w, g, CFG, interpret=True, pack_f16=True
+    ))
+    np.testing.assert_allclose(
+        packed, exact, rtol=5e-2, atol=2e-3 * np.abs(exact).max()
+    )
