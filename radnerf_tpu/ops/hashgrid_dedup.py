@@ -233,9 +233,13 @@ def _encode_group_dedup(
             == jax.lax.broadcasted_iota(jnp.int32, rank.shape + (U,), 3)
         ).astype(compute_dtype)
         fu = jnp.concatenate([fu0, fu1]).astype(compute_dtype)  # (16,G,R,U)
+        # HIGHEST: default TPU matmul precision truncates f32 operands to
+        # bf16, breaking the documented bit-exactness of the one-hot
+        # broadcast for float32 compute (no-op for bf16 operands).
         fs = jnp.einsum(
             "grwu,cgru->cgrw", onehot, fu,
             preferred_element_type=compute_dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return fs[:8], fs[8:]
 
@@ -354,6 +358,7 @@ def _group_grad(xb, levels, U, cfg, g0, g1, block, interpret):
         du = jnp.einsum(
             "grwu,cgrw->cgru", onehot, wg,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,      # f32-exact reduction
         )                                             # (16, G, R, U)
         return scatter(rows, du[:8], du[8:], 8 * R * U)
 

@@ -182,8 +182,10 @@ def hashgrid_table_grad_window(
             payload instead of two f32 payloads — ~25% faster sort. The
             per-update rounding matches the reference's fp16 gradient
             accumulation (tcnn accumulates hash-table grads with half2
-            atomics under AMP, train.py:318); the window kernel still
-            ACCUMULATES in f32. Set False for f32-exact gradients (tests).
+            atomics under AMP + PL dynamic loss scaling, train.py:318); a
+            per-level power-of-two scale keeps small updates above f16's
+            subnormal floor, and the window kernel still ACCUMULATES in
+            f32. Set False for f32-exact gradients (tests).
     """
     L, _, N = idx.shape
     T, F = cfg.table_size, cfg.n_features
@@ -195,11 +197,24 @@ def hashgrid_table_grad_window(
     v0 = (w32 * gt[:, 0, None, :]).reshape(L, n)
     v1 = (w32 * gt[:, 1, None, :]).reshape(L, n)
     if pack_f16:
+        # Per-level power-of-two loss scale: the reference trains under PL
+        # precision=16 WITH dynamic loss scaling (~2^16) before tcnn's half
+        # atomics; raw w*g values below f16's subnormal floor (~6e-8) would
+        # otherwise round to zero here. Scaling each level's stream so its
+        # amax sits near 2^14 keeps ~38 bits of dynamic range below the
+        # peak; dividing the f32-accumulated slab by the exact power of two
+        # afterwards is lossless.
+        amax = jnp.max(
+            jnp.maximum(jnp.abs(v0), jnp.abs(v1)), axis=1, keepdims=True
+        )
+        _, e = jnp.frexp(amax)                      # amax = m * 2^e
+        scale = jnp.where(amax > 0.0, jnp.exp2((14 - e).astype(jnp.float32)),
+                          1.0)                      # (L, 1)
         h0 = jax.lax.bitcast_convert_type(
-            v0.astype(jnp.float16), jnp.uint16
+            (v0 * scale).astype(jnp.float16), jnp.uint16
         ).astype(jnp.uint32)
         h1 = jax.lax.bitcast_convert_type(
-            v1.astype(jnp.float16), jnp.uint16
+            (v1 * scale).astype(jnp.float16), jnp.uint16
         ).astype(jnp.uint32)
         packed = h0 | (h1 << jnp.uint32(16))
         sk, sp = jax.lax.sort(
@@ -212,12 +227,14 @@ def hashgrid_table_grad_window(
         s1 = jax.lax.bitcast_convert_type(
             (sp >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
         ).astype(jnp.float32)
+        grad = sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
+        return grad * (1.0 / scale)[:, :, None]
     else:
         sk, s0, s1 = jax.lax.sort(
             (idx.reshape(L, n), v0, v1), dimension=-1, num_keys=1,
             is_stable=False,
         )
-    return sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
+        return sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
 
 
 @functools.lru_cache(maxsize=None)

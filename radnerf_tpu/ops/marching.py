@@ -269,6 +269,7 @@ def march_rays_union_flat(
     cfg: MarchConfig,
     noise: jnp.ndarray | None = None,
     budget_per_ray: int = 64,
+    cap_scale: int = 1,
 ) -> tuple[dict, jnp.ndarray]:
     """Flat marching against K occupancy grids at once (MoE union sampling).
 
@@ -281,14 +282,27 @@ def march_rays_union_flat(
     |union| samples instead of sum_k |expert_k| — close to a K-fold saving
     when the grids agree.
 
-    Deliberate deviation (documented): the reference draws independent start
-    jitter per expert; here the jitter is shared so the lattices coincide.
-    The jitter is plain stratified sampling, so this only correlates the
-    experts' Monte-Carlo noise — per-expert marginals are unchanged.
+    Deliberate deviations (documented):
+      1. The reference draws independent start jitter per expert; here the
+         jitter is shared so the lattices coincide. The jitter is plain
+         stratified sampling, so this only correlates the experts'
+         Monte-Carlo noise — per-expert marginals are unchanged.
+      2. BUDGETING: `budget_per_ray` (global budget B = N * budget_per_ray)
+         and the `cap_scale * cfg.samples_per_ray` per-ray cap apply to the
+         UNION stream, whereas the reference (and the non-union flat path)
+         budgets each expert independently. When the K occupancy grids
+         diverge, the union is larger than any single expert's set, so each
+         expert's effective samples shrink — with FRONT-truncation of the
+         buffer tail. Pass cap_scale=K (done by ml_render) to keep the
+         per-ray cap expert-equivalent for free (it is just a clamp), and
+         scale budget_per_ray by RenderConfig.union_budget_factor (up to K
+         for exact per-expert-march equivalence, at proportional encode
+         cost) when grids are expected to diverge.
 
     Returns (march_dict, member) where march_dict is the usual flat layout
     over the union and member is (K, B) bool — sample b belongs to expert k
-    (i.e. expert k's own march would have produced it).
+    (i.e. expert k's own march would have produced it — up to the union
+    budgeting in deviation 2).
     """
     t, dt, xyz, in_range = _lattice_candidates(
         rays_o, rays_d, t1, t2, cfg, noise
@@ -298,7 +312,10 @@ def march_rays_union_flat(
     # over just the B compacted samples — ~20x fewer occupancy lookups
     occ_union = jnp.any(occ_grids, axis=0)
     keep = in_range & occupancy_lookup(xyz, dt, occ_union, cfg)
-    m, flat_sel = _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray)
+    cfg_u = dataclasses.replace(
+        cfg, samples_per_ray=cfg.samples_per_ray * cap_scale
+    )
+    m, flat_sel = _compact_flat_from_keep(t, dt, keep, cfg_u, budget_per_ray)
     sel_dt = jnp.take(dt.reshape(-1), flat_sel)
     sel_xyz = jnp.take(xyz.reshape(-1, 3), flat_sel, axis=0)
     member = jax.vmap(

@@ -76,7 +76,10 @@ def _expert_samples_union_flat(
     noise = jax.random.uniform(k_noise, (N,))
     m, member = march_rays_union_flat(
         rays_o, rays_d, t1, t2, state["occ"], mcfg, noise,
-        budget_per_ray=rcfg.budget_per_ray,
+        budget_per_ray=max(
+            1, round(rcfg.budget_per_ray * rcfg.union_budget_factor)
+        ),
+        cap_scale=K,   # per-ray cap stays expert-equivalent (free clamp)
     )
     rid = m["ray_id"]                                    # (B,)
     o = jnp.take(rays_o, rid, axis=0)

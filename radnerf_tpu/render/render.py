@@ -50,6 +50,11 @@ class RenderConfig:
     # MoE: march/encode the union of the K experts' samples once instead of
     # K independent renders (shared start jitter; see march_rays_union_flat)
     union_sampling: bool = True
+    # Scales budget_per_ray for the UNION stream only. 1.0 keeps the union
+    # encode as cheap as a single expert's (tail samples front-truncated
+    # when expert grids diverge — see march_rays_union_flat deviation 2);
+    # K recovers exact per-expert-march equivalence at K x encode cost.
+    union_budget_factor: float = 1.0
 
     def march(self, cfg: NGPConfig) -> MarchConfig:
         return MarchConfig(

@@ -523,7 +523,17 @@ class NeRFSystem:
         trainer.fit(ckpt_path=...) (train_ml.py:309)."""
         from ..utils.ckpt import load_ckpt
 
-        ckpt = load_ckpt(ckpt_path)
+        # the live payload structure doubles as the orbax restore template:
+        # it re-imposes container types (optax NamedTuples) and child order
+        # on the restored tree (utils/ckpt.restructure_like)
+        ckpt = load_ckpt(
+            ckpt_path,
+            template={
+                "params": self.params,
+                "opt_state": self.optimizer.init(self._bundle_params()),
+                "model_state": self.model_state,
+            },
+        )
         as_jnp = partial(jax.tree_util.tree_map, jnp.asarray)
         self.params = as_jnp(ckpt["params"])
         if self.moe and "gate_params" in ckpt:
@@ -532,13 +542,16 @@ class NeRFSystem:
             self.ext_params = as_jnp(ckpt["ext_params"])
         self.trainable = self._bundle_params()
         if "opt_state" in ckpt:
-            flat_new, treedef = jax.tree_util.tree_flatten(
+            restored = as_jnp(ckpt["opt_state"])
+            live_def = jax.tree_util.tree_structure(
                 self.optimizer.init(self.trainable)
             )
-            flat_old = jax.tree_util.tree_leaves(as_jnp(ckpt["opt_state"]))
-            if len(flat_old) == len(flat_new):
-                self.opt_state = jax.tree_util.tree_unflatten(
-                    treedef, flat_old
+            if jax.tree_util.tree_structure(restored) == live_def:
+                self.opt_state = restored
+            else:
+                self.logger.info(
+                    "resume: opt_state structure mismatch — starting with "
+                    "fresh optimizer state"
                 )
         if "model_state" in ckpt:
             self.model_state = as_jnp(ckpt["model_state"])

@@ -68,14 +68,63 @@ class OrbaxAsyncWriter:
         self._ck.close()
 
 
-def load_ckpt(path: str) -> dict:
-    """Load either format (orbax checkpoints are directories)."""
+def restructure_like(template: Any, restored: Any) -> Any:
+    """Rebuild `restored` with `template`'s container types and child order.
+
+    Orbax restores (without an item template) tuple/NamedTuple nodes — such
+    as optax opt_state — as plain dicts keyed by STRINGIFIED indices; a
+    naive flatten/unflatten then sorts those keys lexicographically, which
+    misorders tuples with >= 10 children. This walks the live template and
+    re-attaches restored children by integer index, preserving container
+    types (incl. NamedTuples) and leaf order exactly. Values always come
+    from `restored`; raises KeyError/IndexError on structural mismatch."""
+    if isinstance(template, dict) and isinstance(restored, dict):
+        return {
+            k: restructure_like(template[k], restored[k]) for k in template
+        }
+    if isinstance(template, (tuple, list)):
+        if isinstance(restored, dict):        # orbax stringified indices
+            children = [
+                restructure_like(template[i], restored[str(i)])
+                for i in range(len(template))
+            ]
+        elif isinstance(restored, (tuple, list)):
+            if len(restored) != len(template):
+                raise IndexError("restored arity != template arity")
+            children = [
+                restructure_like(t, r) for t, r in zip(template, restored)
+            ]
+        else:                                  # leaf vs container mismatch
+            raise KeyError("restored leaf where template has a container")
+        if hasattr(template, "_fields"):       # NamedTuple
+            return type(template)(*children)
+        return type(template)(children)
+    return restored
+
+
+def load_ckpt(path: str, template: Any | None = None) -> dict:
+    """Load either format (orbax checkpoints are directories).
+
+    `template`: an optional pytree (e.g. the live {params, opt_state, ...}
+    payload) whose container structure is re-imposed on the restored tree
+    via `restructure_like` — required for orbax checkpoints that contain
+    tuple/NamedTuple nodes (optax opt_state). Keys present in only one of
+    template/checkpoint pass through untouched. Ignored for the pickle
+    format (pickle preserves structure natively)."""
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
         out = dict(
             ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
         )
+        if template is not None:
+            for k in out:
+                if k in template:
+                    try:
+                        out[k] = restructure_like(template[k], out[k])
+                    except (KeyError, IndexError):
+                        pass   # structural mismatch: caller decides
+
         sidecar = path + ".hparams.pkl"
         if os.path.exists(sidecar):
             with open(sidecar, "rb") as f:
