@@ -179,3 +179,51 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_complex(M=4_194_304):
+    """complex64 scalar gather: if it fetches 8B/issue at the u32 rate,
+    the slab layout's adjacent (x, x+1) corner pairs halve fw issues."""
+    import jax
+    import jax.numpy as jnp
+    import time
+
+    T = 1 << 19
+    tab_f32 = jax.random.normal(jax.random.PRNGKey(0), (T, 2))
+    tab_c = jax.lax.complex(tab_f32[:, 0], tab_f32[:, 1])   # (T,) c64
+    A = M // 128
+    idx = jax.random.randint(jax.random.PRNGKey(1), (A * 128,), 0, T - 2)
+
+    @jax.jit
+    def g_c(t, ix):
+        v = jnp.take(t, ix)
+        return jnp.sum(jnp.real(v) + jnp.imag(v))
+
+    @jax.jit
+    def g_2xu32(t, ix):
+        v0 = jnp.take(t, ix)
+        v1 = jnp.take(t, ix + 1)
+        return jnp.sum((v0 + v1).astype(jnp.float32))
+
+    def timeit1(f, *a, iters=10):
+        for _ in range(2):
+            out = f(*a)
+        _ = float(jax.device_get(out))
+        t0 = time.time()
+        for _ in range(iters):
+            out = f(*a)
+        _ = float(jax.device_get(out))
+        return (time.time() - t0) / iters
+
+    dt = timeit1(g_c, tab_c, idx)
+    print(f"complex64 scalar gather       {dt*1e3:8.2f} ms "
+          f"{M/dt/1e6:8.1f} M iss/s", flush=True)
+    tab_u = jax.random.randint(jax.random.PRNGKey(2), (T,), 0, 1 << 30,
+                               dtype=jnp.int32).astype(jnp.uint32)
+    dt = timeit1(g_2xu32, tab_u, idx)
+    print(f"2x u32 scalar gathers         {dt*1e3:8.2f} ms "
+          f"{M/dt/1e6:8.1f} M pair/s", flush=True)
+
+
+if __name__ == "__main__" and "--complex" in sys.argv:
+    bench_complex()

@@ -146,7 +146,7 @@ def create_spheric_poses(radius: float, mean_h: float, n_poses: int = 120):
         c2w = rot_theta(theta) @ np.vstack(
             [rot_phi(phi) @ np.vstack([trans_t(radius), [0, 0, 0, 1]]),
              [0, 0, 0, 1]]
-        )[:3]
+        )
         c2w = (
             np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0]],
                      dtype=np.float32)

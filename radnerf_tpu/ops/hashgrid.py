@@ -292,17 +292,20 @@ def resolve_impl(impl: str) -> str:
         return impl
     import jax
 
-    # TPU backends register as 'tpu' or (via the axon relay) 'axon'
-    return "dedup" if jax.default_backend() != "cpu" else "xla"
+    # TPU backends register as 'tpu' or (via the axon relay) 'axon'.
+    # 'slab' = run-length-dedup forward over the slab table layout + the
+    # x-pair windowed backward — measured fastest (examples/profile_step.py:
+    # fw+bw 43 ms vs dedup's 61 ms on the 98k-sample bench stream).
+    return "slab" if jax.default_backend() != "cpu" else "xla"
 
 
 def incoherent_impl(impl: str) -> str:
     """Best impl for spatially-INCOHERENT point sets (density-grid updates
     sample random cells, networks.py:142-169): the run-length dedup would
     always overflow to its fallback and waste its per-level sorts, so route
-    straight to the windowed-scatter path."""
+    to the plain-forward variant of the same table layout."""
     r = resolve_impl(impl)
-    return "window" if r == "dedup" else r
+    return {"dedup": "window", "slab": "slab_plain"}.get(r, r)
 
 
 def encode_dispatch(
@@ -318,11 +321,24 @@ def encode_dispatch(
       'sort'   — lax.sort + sorted-hint scatter (pure XLA, ~80M upd/s)
       'window' — lax.sort + windowed dense Pallas accumulation
       'dedup'  — ray-coherent run-length dedup fw/bw on top of 'window'
-                 (fastest; exploits sample adjacency along rays)
+                 (exploits sample adjacency along rays)
+      'slab'   — slab table layout: one (2,2)-slice gather per 4 corners
+                 + x-pair windowed backward (fastest; DIFFERENT hash than
+                 tcnn — see ops/hashgrid_slab.py; bf16 compute only,
+                 falls back to 'dedup' for other dtypes)
       'auto'   — 'dedup' on TPU, 'xla' elsewhere.
     Measured comparison: examples/bench_scatter.py."""
     if impl == "auto":
         impl = resolve_impl(impl)
+    if impl in ("slab", "slab_plain"):
+        if jnp.dtype(compute_dtype) == jnp.bfloat16:
+            from .hashgrid_slab import hashgrid_encode_slab
+
+            return hashgrid_encode_slab(
+                table, x, cfg, compute_dtype,
+                fw_mode="plain" if impl == "slab_plain" else "dedup",
+            )
+        impl = "dedup"
     if impl == "dedup":
         from .hashgrid_dedup import hashgrid_encode_dedup
 

@@ -123,6 +123,46 @@ def _corner_rows(cx, cy, cz, res, dense, lvl, cfg: HashGridConfig):
     )
 
 
+def _make_rows_fn(cfg: HashGridConfig, levels: list[int], addr: str):
+    """Per-group closure mapping CELL coords + corner id -> table rows.
+
+    addr='xor': tcnn-style hash (ops/hashgrid.py semantics).
+    addr='slab': adjacent-corner slab layout (ops/hashgrid_slab.py) —
+    the row is derived from the cell's slab base so corner pairing stays
+    consistent with the pair backward."""
+    if addr == "xor":
+        scales, res, dense, lvl = _level_consts(cfg, levels)
+
+        def rows_fn(cx, cy, cz, c):
+            return _corner_rows(
+                cx + (c & 1), cy + ((c >> 1) & 1), cz + ((c >> 2) & 1),
+                res, dense, lvl, cfg,
+            )
+
+        return rows_fn
+
+    from .hashgrid_slab import _qm, level_addrs
+
+    addrs = [level_addrs(cfg)[lv] for lv in levels]
+    T = cfg.table_size
+
+    def rows_fn(cx, cy, cz, c):
+        xr, yr, zc = c & 1, (c >> 1) & 1, (c >> 2) & 1
+        rows = []
+        for gi, a in enumerate(addrs):
+            q, m = _qm(a, cx[gi], cy[gi], cz[gi], zc)
+            rows.append(
+                (
+                    jnp.uint32(a.level * T)
+                    + (q + jnp.uint32(yr)) * jnp.uint32(a.C)
+                    + m + jnp.uint32(xr)
+                ).astype(jnp.int32)
+            )
+        return jnp.stack(rows)
+
+    return rows_fn
+
+
 def _trilinear_w(frac, dtype):
     """(..., 3) frac -> 8 corner weights stacked on a leading axis.
 
@@ -190,7 +230,7 @@ def _run_structure(pos_i):
 
 
 def _encode_group_dedup(
-    xb, levels, U, cfg, packed, t0, t1, compute_dtype, block,
+    xb, levels, U, cfg, packed, t0, t1, compute_dtype, block, addr="xor",
 ):
     """Encode one level group over (R, W) blocks; returns (G, R, W) f0/f1.
 
@@ -202,15 +242,13 @@ def _encode_group_dedup(
     pos_i, frac = _group_geometry(xb, scales, res)
     wts = _trilinear_w(frac, compute_dtype)          # (8, G, R, W)
     new, rank, nruns = _run_structure(pos_i)
+    rows_fn = _make_rows_fn(cfg, levels, addr)
 
     def corner_feats(cx, cy, cz):
         """(8, 2, ...) corner feature planes for coords (G, ..., 3 axes)."""
         f0s, f1s = [], []
         for c in range(8):
-            rows = _corner_rows(
-                cx + (c & 1), cy + ((c >> 1) & 1), cz + ((c >> 2) & 1),
-                res, dense, lvl, cfg,
-            )
+            rows = rows_fn(cx, cy, cz, c)
             f0, f1 = _gather_features(rows, packed, t0, t1)
             f0s.append(f0)
             f1s.append(f1)
@@ -272,7 +310,7 @@ def _flatten_tables(table, compute_dtype):
 
 def hashgrid_encode_dedup_fwd_impl(
     table, x, cfg: HashGridConfig, compute_dtype, block: int = BLOCK,
-    caps: tuple[int, ...] | None = None,
+    caps: tuple[int, ...] | None = None, addr: str = "xor",
 ):
     """Non-differentiable forward. Returns (N, L*F) level-major features."""
     L, T, F = table.shape
@@ -287,13 +325,14 @@ def hashgrid_encode_dedup_fwd_impl(
     out1 = [None] * L
     for levels, U in groups:
         o0, o1 = _encode_group_dedup(
-            xb, levels, U, cfg, packed, t0, t1, compute_dtype, block
+            xb, levels, U, cfg, packed, t0, t1, compute_dtype, block, addr
         )
         for gi, lvl in enumerate(levels):
             out0[lvl], out1[lvl] = o0[gi], o1[gi]
     if plain:
         o0, o1 = _encode_group_dedup(
-            xb, plain, block, cfg, packed, t0, t1, compute_dtype, block
+            xb, plain, block, cfg, packed, t0, t1, compute_dtype, block,
+            addr,
         )
         for gi, lvl in enumerate(plain):
             out0[lvl], out1[lvl] = o0[gi], o1[gi]

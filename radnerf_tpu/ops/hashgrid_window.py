@@ -237,6 +237,176 @@ def hashgrid_table_grad_window(
         return sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
 
 
+def _window_scatter_pair_kernel(
+    sk_ref, s0e_ref, s0o_ref, s1e_ref, s1o_ref, out_ref
+):
+    """Pair variant: each sorted entry contributes to TWO adjacent table
+    rows (k, k+1) — the x-corner pair of the slab layout
+    (ops/hashgrid_slab.py) — with independent (feature0, feature1) values
+    for each. Halves the sorted-stream element count at the same total
+    payload words. Same slab/window geometry as _window_scatter_kernel."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_FLAT), 1)
+    j_row = j >> 1
+    j_odd = (j & 1) == 1
+
+    for s in range(TILE_SUB):
+        sk_s = sk_ref[0, 0, s, :][:, None]      # (LANES, 1)
+        ve = jnp.where(
+            j_odd, s1e_ref[0, 0, s, :][:, None], s0e_ref[0, 0, s, :][:, None]
+        )
+        vo = jnp.where(
+            j_odd, s1o_ref[0, 0, s, :][:, None], s0o_ref[0, 0, s, :][:, None]
+        )
+        r_lo = sk_ref[0, 0, s, 0]
+        r_hi = sk_ref[0, 0, s, LANES - 1] + 1   # +1: the x-odd row
+        base0 = (r_lo >> 6) << 6
+        n_win = ((r_hi - base0) >> 6) + 1
+
+        def body(w, _, sk_s=sk_s, ve=ve, vo=vo, base0=base0):
+            base = base0 + w * W_ROWS
+            d = sk_s - base
+            m = jnp.where(d == j_row, ve, 0.0) + jnp.where(
+                d + 1 == j_row, vo, 0.0
+            )
+            contrib = jnp.sum(m, axis=0).reshape(1, WIN_FLAT)
+            sub = base >> 6
+            out_ref[0, pl.ds(sub, 1), :] = (
+                out_ref[0, pl.ds(sub, 1), :] + contrib
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
+
+
+def sorted_table_grad_window_pair(
+    sk: jnp.ndarray,
+    s0e: jnp.ndarray,
+    s0o: jnp.ndarray,
+    s1e: jnp.ndarray,
+    s1o: jnp.ndarray,
+    table_size: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(L, T, 2) f32 gradient from a row-sorted PAIR update stream.
+
+    Entry i adds (s0e, s1e) to table row sk[i] and (s0o, s1o) to row
+    sk[i] + 1 (features 0/1 respectively). Rows sk[i] + 1 == T spill into
+    the spare slab sublane and are dropped (the documented 2e-6 boundary
+    case of the slab layout)."""
+    L, n = sk.shape
+    T = table_size
+    assert T % W_ROWS == 0
+    pad = (-n) % TILE
+    if pad:
+        sk = jnp.concatenate(
+            [sk, jnp.broadcast_to(sk[:, -1:], (L, pad))], axis=1
+        )
+        s0e, s0o, s1e, s1o = (
+            jnp.pad(v, ((0, 0), (0, pad))) for v in (s0e, s0o, s1e, s1o)
+        )
+    n_pad = n + pad
+    n_tiles = n_pad // TILE
+    slab_rows = T * 2 // LANES + 1
+    shape4 = (L, n_tiles, TILE_SUB, LANES)
+
+    slab = pl.pallas_call(
+        _window_scatter_pair_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, slab_rows, LANES), jnp.float32),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_SUB, LANES), lambda l, p: (l, p, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 5,
+        out_specs=pl.BlockSpec(
+            (1, slab_rows, LANES), lambda l, p: (l, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        sk.reshape(shape4),
+        s0e.reshape(shape4),
+        s0o.reshape(shape4),
+        s1e.reshape(shape4),
+        s1o.reshape(shape4),
+    )
+    return slab[:, : T * 2 // LANES, :].reshape(L, T, 2)
+
+
+def hashgrid_table_grad_window_pair(
+    key: jnp.ndarray,
+    v0e: jnp.ndarray,
+    v0o: jnp.ndarray,
+    v1e: jnp.ndarray,
+    v1o: jnp.ndarray,
+    table_size: int,
+    interpret: bool = False,
+    pack_f16: bool = True,
+) -> jnp.ndarray:
+    """Sort an (L, n) pair-update stream and accumulate it.
+
+    pack_f16 packs each feature's (x-even, x-odd) values into one u32 sort
+    payload (f16x2, per-level power-of-two loss scale — see
+    hashgrid_table_grad_window) so the sort carries 1 key + 2 payloads for
+    4 values; False sorts 4 f32 payloads (exact, for tests)."""
+    L, n = key.shape
+    if pack_f16:
+        amax = jnp.max(
+            jnp.maximum(
+                jnp.maximum(jnp.abs(v0e), jnp.abs(v0o)),
+                jnp.maximum(jnp.abs(v1e), jnp.abs(v1o)),
+            ),
+            axis=1, keepdims=True,
+        )
+        _, e = jnp.frexp(amax)
+        scale = jnp.where(
+            amax > 0.0, jnp.exp2((14 - e).astype(jnp.float32)), 1.0
+        )
+
+        def pack(a, b):
+            ha = jax.lax.bitcast_convert_type(
+                (a * scale).astype(jnp.float16), jnp.uint16
+            ).astype(jnp.uint32)
+            hb = jax.lax.bitcast_convert_type(
+                (b * scale).astype(jnp.float16), jnp.uint16
+            ).astype(jnp.uint32)
+            return ha | (hb << jnp.uint32(16))
+
+        sk, p0, p1 = jax.lax.sort(
+            (key, pack(v0e, v0o), pack(v1e, v1o)),
+            dimension=-1, num_keys=1, is_stable=False,
+        )
+
+        def unpack(p):
+            lo = jax.lax.bitcast_convert_type(
+                (p & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+            ).astype(jnp.float32)
+            hi = jax.lax.bitcast_convert_type(
+                (p >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+            ).astype(jnp.float32)
+            return lo, hi
+
+        s0e, s0o = unpack(p0)
+        s1e, s1o = unpack(p1)
+        grad = sorted_table_grad_window_pair(
+            sk, s0e, s0o, s1e, s1o, table_size, interpret=interpret
+        )
+        return grad * (1.0 / scale)[:, :, None]
+    sk, s0e, s0o, s1e, s1o = jax.lax.sort(
+        (key, v0e, v0o, v1e, v1o), dimension=-1, num_keys=1, is_stable=False
+    )
+    return sorted_table_grad_window_pair(
+        sk, s0e, s0o, s1e, s1o, table_size, interpret=interpret
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_window(cfg: HashGridConfig, compute_dtype_name: str,
                        interpret: bool):

@@ -117,19 +117,10 @@ def calc_dt(t: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
     return jnp.clip(t * cfg.exp_step_factor, cfg.dt_min, cfg.dt_max)
 
 
-def occupancy_lookup(
-    xyz: jnp.ndarray, dt: jnp.ndarray, occ_grid: jnp.ndarray, cfg: MarchConfig
+def _occ_flat_index(
+    xyz: jnp.ndarray, dt: jnp.ndarray, cfg: MarchConfig
 ) -> jnp.ndarray:
-    """Multi-cascade occupancy test.
-
-    Args:
-        xyz: (..., 3) world positions.
-        dt: (...,) step sizes (selects the mip together with position).
-        occ_grid: (C, G, G, G) boolean occupancy (unpacked bitfield, linear
-            layout — see ops/morton.py for the layout note).
-    Returns:
-        (...,) boolean occupancy.
-    """
+    """(mip, cell) flat index of the multi-cascade occupancy grid."""
     C, G = cfg.cascades, cfg.grid_size
     mx = jnp.max(jnp.abs(xyz), axis=-1)
     # mip_from_pos: exponent of frexp(mx) + 1 (raymarching.cu:19-23).
@@ -143,8 +134,109 @@ def occupancy_lookup(
     n = jnp.clip(
         0.5 * (xyz / mip_bound[..., None] + 1.0) * G, 0.0, G - 1.0
     ).astype(jnp.int32)
-    flat = ((mip * G + n[..., 0]) * G + n[..., 1]) * G + n[..., 2]
+    return ((mip * G + n[..., 0]) * G + n[..., 1]) * G + n[..., 2]
+
+
+def occupancy_lookup(
+    xyz: jnp.ndarray, dt: jnp.ndarray, occ_grid: jnp.ndarray, cfg: MarchConfig
+) -> jnp.ndarray:
+    """Multi-cascade occupancy test.
+
+    Args:
+        xyz: (..., 3) world positions.
+        dt: (...,) step sizes (selects the mip together with position).
+        occ_grid: (C, G, G, G) boolean occupancy (unpacked bitfield, linear
+            layout — see ops/morton.py for the layout note).
+    Returns:
+        (...,) boolean occupancy.
+    """
+    flat = _occ_flat_index(xyz, dt, cfg)
     return jnp.take(occ_grid.reshape(-1), flat, axis=0).astype(jnp.bool_)
+
+
+def _occ_run_cap(cfg: MarchConfig, block: int) -> int:
+    """Static bound on distinct cells a `block`-candidate stretch of a
+    ray can touch at dt == dt_min: 1 + path * (|dx|+|dy|+|dz|) / cell
+    <= 1 + block * dt_min * sqrt(3) * G / (2 * scale), +slack for the
+    block's ray boundary. Only valid for exp_step_factor == 0 (constant
+    dt); those configs are single-cascade (scale <= 0.5 -> cascades 1),
+    so the flat index has no mip-switch runs either."""
+    u = (
+        int(
+            math.ceil(
+                1.0
+                + block * cfg.dt_min * SQRT3 * cfg.grid_size
+                / (2.0 * cfg.scale)
+            )
+        )
+        + 16
+    )
+    return min(block, (u + 7) // 8 * 8)
+
+
+def occupancy_lookup_runs(
+    xyz: jnp.ndarray,
+    dt: jnp.ndarray,
+    occ_grid: jnp.ndarray,
+    cfg: MarchConfig,
+    block: int = 256,
+) -> jnp.ndarray:
+    """(N, K) candidate occupancy via per-block run-length dedup — EXACT.
+
+    Consecutive lattice candidates share grid cells (~cell/dt candidates
+    per cell), so per block of `block` consecutive candidates only the
+    run representatives gather the grid (measured: the candidate
+    occupancy gather is ~40% of the whole union-march cost at bench
+    shapes); results broadcast back through a one-hot MXU matmul. Blocks
+    never span two rays (K is padded per ray). Falls back to the full
+    gather via lax.cond if a block exceeds the static run cap, so
+    exactness never depends on the data."""
+    N, K = xyz.shape[:2]
+    U = _occ_run_cap(cfg, block)
+    flat = _occ_flat_index(xyz, dt, cfg)                 # (N, K)
+    occ_flat = occ_grid.reshape(-1)
+    if cfg.exp_step_factor != 0.0 or U >= block:
+        return jnp.take(occ_flat, flat, axis=0).astype(jnp.bool_)
+    pad = (-K) % block
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[:, -1:], (N, pad))], axis=1
+        )
+    Kp = K + pad
+    fb = flat.reshape(N * Kp // block, block)            # (R, W)
+    new = jnp.concatenate(
+        [jnp.ones_like(fb[:, :1], jnp.bool_), fb[:, 1:] != fb[:, :-1]],
+        axis=1,
+    )
+    rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+    nruns = rank[:, -1] + 1
+
+    def dedup(_):
+        key = jnp.where(
+            new, jax.lax.broadcasted_iota(jnp.int32, new.shape, 1), block
+        )
+        _, urows = jax.lax.sort(
+            (key, fb), dimension=-1, num_keys=1, is_stable=False
+        )
+        urows = urows[:, :U]                             # (R, U)
+        occ_u = jnp.take(occ_flat, urows, axis=0).astype(jnp.bfloat16)
+        onehot = (
+            rank[:, :, None]
+            == jax.lax.broadcasted_iota(
+                jnp.int32, rank.shape + (U,), 2
+            )
+        ).astype(jnp.bfloat16)
+        got = jnp.einsum(
+            "rwu,ru->rw", onehot, occ_u,
+            preferred_element_type=jnp.bfloat16,
+        )
+        return got > 0.5
+
+    def full(_):
+        return jnp.take(occ_flat, fb, axis=0).astype(jnp.bool_)
+
+    occ = jax.lax.cond(jnp.any(nruns > U), full, dedup, None)
+    return occ.reshape(N, Kp)[:, :K]
 
 
 def march_rays_train(
@@ -183,7 +275,7 @@ def march_rays_train(
     in_range = (t1[:, None] >= 0) & (t >= 0) & (t < t2[:, None])
 
     xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]  # (N, K, 3)
-    occ = occupancy_lookup(xyz, dt, occ_grid, cfg)
+    occ = occupancy_lookup_runs(xyz, dt, occ_grid, cfg)
     keep = in_range & occ
 
     ts, deltas, valid, n_samples = _compact_keep(t, dt, keep, S)
@@ -255,7 +347,7 @@ def march_rays_train_flat(
     t, dt, xyz, in_range = _lattice_candidates(
         rays_o, rays_d, t1, t2, cfg, noise
     )
-    keep = in_range & occupancy_lookup(xyz, dt, occ_grid, cfg)
+    keep = in_range & occupancy_lookup_runs(xyz, dt, occ_grid, cfg)
     m, _ = _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray)
     return m
 
@@ -311,7 +403,7 @@ def march_rays_union_flat(
     # instead of K); per-expert membership is then resolved with K gathers
     # over just the B compacted samples — ~20x fewer occupancy lookups
     occ_union = jnp.any(occ_grids, axis=0)
-    keep = in_range & occupancy_lookup(xyz, dt, occ_union, cfg)
+    keep = in_range & occupancy_lookup_runs(xyz, dt, occ_union, cfg)
     cfg_u = dataclasses.replace(
         cfg, samples_per_ray=cfg.samples_per_ray * cap_scale
     )

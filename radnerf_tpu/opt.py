@@ -127,6 +127,13 @@ def get_parser() -> argparse.ArgumentParser:
     tpu.add_argument('--compute_dtype', type=str, default='bfloat16',
                      choices=['float32', 'bfloat16'],
                      help='MLP/hash-gather compute dtype (params stay fp32)')
+    tpu.add_argument('--hash_impl', type=str, default='auto',
+                     choices=['auto', 'xla', 'pallas', 'sort', 'window',
+                              'dedup', 'slab', 'slab_plain'],
+                     help='hash-grid encode backend (ops/hashgrid.py '
+                          'encode_dispatch); slab uses the TPU slab table '
+                          'layout with an additive hash — checkpoints are '
+                          'tied to the impl family that trained them')
     tpu.add_argument('--val_chunk', type=int, default=65536,
                      help='rays per test-time render chunk')
     tpu.add_argument('--multihost', action='store_true', default=False,

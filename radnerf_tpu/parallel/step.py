@@ -63,8 +63,11 @@ def make_train_step(
     """
 
     def local_step(params, opt_state, model_state, batch, data, key):
-        # decorrelate per-device randomness (ray start jitter, random bg)
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        # NOTE: the key is NOT folded by device index. Per-ray randomness
+        # (start jitter) is derived from global ray ids inside loss_fn, so
+        # it is already decorrelated across rays AND device-count
+        # invariant; remaining whole-batch draws (random background) must
+        # be shared across devices to match single-device semantics.
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, model_state, batch, data, key
         )
@@ -89,3 +92,21 @@ def make_train_step(
     )
     donate_args = (0, 1) if donate else ()
     return jax.jit(sharded, donate_argnums=donate_args)
+
+
+def make_grad_fn(loss_fn, mesh: Mesh, axis: str = "ray"):
+    """Jitted (loss, grads) over the mesh — the optimizer-free core of
+    make_train_step, used by the DP-equivalence test to assert that the
+    pmean'd gradients are identical for any device count."""
+
+    def local(params, model_state, batch, data, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, model_state, batch, data, key
+        )
+        return jax.lax.pmean(loss, axis), jax.lax.pmean(grads, axis)
+
+    return jax.jit(_shard_map(
+        local, mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=(P(), P()),
+    ))

@@ -61,7 +61,7 @@ def _gate_input(rays_o, rays_d, imgs_d, gate_type: str) -> jnp.ndarray:
 
 def _expert_samples_union_flat(
     params, state, cfg: MNGPConfig, rays_o, rays_d, t1, t2, mcfg, rcfg,
-    d_enc_ray, k_noise, k_bg,
+    d_enc_ray, k_noise, k_bg, noise=None,
 ) -> dict:
     """Union-of-experts sampling: ONE march + ONE hash encode for all K
     experts (see ops.marching.march_rays_union_flat for semantics).
@@ -73,7 +73,8 @@ def _expert_samples_union_flat(
     dominant cost (the shared hash encode, networks.py:234-247) by ~K x.
     """
     K, N = cfg.n_experts, rays_o.shape[0]
-    noise = jax.random.uniform(k_noise, (N,))
+    if noise is None:
+        noise = jax.random.uniform(k_noise, (N,))
     m, member = march_rays_union_flat(
         rays_o, rays_d, t1, t2, state["occ"], mcfg, noise,
         budget_per_ray=max(
@@ -135,7 +136,8 @@ def _expert_samples_union_flat(
 
 
 def _expert_samples_shared(
-    params, state, cfg: MNGPConfig, rays_o, rays_d, key, rcfg: RenderConfig
+    params, state, cfg: MNGPConfig, rays_o, rays_d, key, rcfg: RenderConfig,
+    noise=None,
 ) -> dict:
     """March every expert, then run ONE hash encode over the union of all
     experts' samples (the encoder is shared, networks.py:234-247) and
@@ -152,13 +154,21 @@ def _expert_samples_shared(
     t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
     mcfg = rcfg.march(cfg)
     k_noise, k_bg = jax.random.split(key)
-    noises = jax.random.uniform(k_noise, (K, N))
+    if noise is None:
+        noises = jax.random.uniform(k_noise, (K, N))
+    else:
+        # device-count-invariant override: per-expert jitter as cyclic
+        # shifts of the per-ray uniform (stratified & decorrelated)
+        noises = jnp.mod(
+            noise[None, :] + jnp.arange(K, dtype=jnp.float32)[:, None] / K,
+            1.0,
+        )
     d_enc_ray = sh_encode_dir(rays_d, cfg.sh_degree).astype(cfg.cdtype)
 
     if rcfg.layout == "flat" and rcfg.union_sampling:
         return _expert_samples_union_flat(
             params, state, cfg, rays_o, rays_d, t1, t2, mcfg, rcfg,
-            d_enc_ray, k_noise, k_bg,
+            d_enc_ray, k_noise, k_bg, noise=noise,
         )
     if rcfg.layout == "flat":
         march = jax.vmap(
@@ -257,6 +267,7 @@ def ml_render_train(
     key: jax.Array,
     rcfg: RenderConfig,
     gate_type: str = "ray",
+    noise: jnp.ndarray | None = None,
 ) -> dict:
     K = cfg.n_experts
     gate, importance, _ = apply_ray_gate(
@@ -267,16 +278,17 @@ def ml_render_train(
 
     if cfg.shared_encoder:
         res = _expert_samples_shared(
-            params, state, cfg, rays_o, rays_d, key, rcfg
+            params, state, cfg, rays_o, rays_d, key, rcfg, noise=noise
         )
     else:
 
-        def render_one(geo_k, rgb_k, table_k, occ_k, key_k):
+        def render_one(geo_k, rgb_k, table_k, occ_k, key_k, k=0):
             fwd = expert_forward_fn(table_k, geo_k, rgb_k, state, cfg)
             sub_state = {**state, "occ": occ_k}
+            nz = None if noise is None else jnp.mod(noise + k / K, 1.0)
             return render_train(
                 None, sub_state, cfg, rays_o, rays_d, key_k, rcfg,
-                forward_fn=fwd,
+                forward_fn=fwd, noise=nz,
             )
 
         # unshared_MNGP: per-expert hash tables -> statically-unrolled
@@ -289,6 +301,7 @@ def ml_render_train(
                     params["hash_table"][k],
                     state["occ"][k],
                     keys[k],
+                    k=k,
                 )
                 for k in range(K)
             ]

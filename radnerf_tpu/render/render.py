@@ -86,11 +86,16 @@ def render_train(
     key: jax.Array,
     rcfg: RenderConfig,
     forward_fn=None,
+    noise: jnp.ndarray | None = None,
 ) -> dict:
     """Training-time render of a ray batch.
 
     `forward_fn(x, d) -> (sigmas, rgbs)` overrides the field evaluation
     (used by ensemble renderers); defaults to the NGP field.
+    `noise`: optional (N,) uniform start-jitter override — the trainer
+    derives it from GLOBAL ray ids so the data-parallel step is
+    device-count invariant (SURVEY.md §4 host-count invariance); None
+    draws from `key` (single-process semantics).
     Returns the reference's result dict on the dense layout:
     rgb (N,3), depth (N,), opacity (N,), ws/ts/deltas/valid (N,S),
     n_samples (N,), rm_samples, vr_samples, total_samples.
@@ -102,7 +107,8 @@ def render_train(
     center, half = scene_center_half(state)
     t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
     mcfg = rcfg.march(cfg)
-    noise = jax.random.uniform(k_noise, (N,))
+    if noise is None:
+        noise = jax.random.uniform(k_noise, (N,))
     if rcfg.layout == "flat":
         return _render_train_flat(
             forward_fn, rays_o, rays_d, t1, t2, state["occ"], mcfg, rcfg,

@@ -131,18 +131,21 @@ class NeRFSystem:
         )
 
         cdt = getattr(hparams, "compute_dtype", "bfloat16")
+        himpl = getattr(hparams, "hash_impl", "auto")
         if self.moe:
             self.cfg = MNGPConfig(
                 scale=hparams.scale,
                 log2_T=hparams.hash_table_size,
                 n_experts=hparams.model_zoo_size,
                 compute_dtype=cdt,
+                hash_impl=himpl,
             )
         else:
             self.cfg = NGPConfig(
                 scale=hparams.scale,
                 log2_T=hparams.hash_table_size,
                 compute_dtype=cdt,
+                hash_impl=himpl,
             )
         if getattr(hparams, "multihost", False):
             from ..parallel import initialize_multihost
@@ -275,6 +278,20 @@ class NeRFSystem:
                 )
             directions = data["directions"][batch["pix_idxs"]]
             rays_o, rays_d = jnp_get_rays(directions, poses)
+            # start-jitter derived from GLOBAL ray identity (image, pixel):
+            # the same ray gets the same jitter no matter how the batch is
+            # sharded, so the DP step is device-count invariant (SURVEY.md
+            # §4 host-count invariance; tested bitwise in test_trainer.py)
+            gid = (
+                batch["img_idxs"].astype(jnp.uint32)
+                * jnp.uint32(data["directions"].shape[0])
+                + batch["pix_idxs"].astype(jnp.uint32)
+            )
+            ray_noise = jax.vmap(
+                lambda i: jax.random.uniform(
+                    jax.random.fold_in(k_sample, i), ()
+                )
+            )(gid)
             target = {
                 "rgb": data["rays"][batch["img_idxs"], batch["pix_idxs"]][
                     :, :3
@@ -286,7 +303,7 @@ class NeRFSystem:
                 )[1]
                 out = ml_render_train(
                     params, model_state, cfg, gate_params, rays_o, rays_d,
-                    imgs_d, k_render, rcfg, gate_type,
+                    imgs_d, k_render, rcfg, gate_type, noise=ray_noise,
                 )
                 ld = nerf_loss(
                     out, target,
@@ -298,7 +315,8 @@ class NeRFSystem:
                 )
             else:
                 out = render_train(
-                    params, model_state, cfg, rays_o, rays_d, k_render, rcfg
+                    params, model_state, cfg, rays_o, rays_d, k_render,
+                    rcfg, noise=ray_noise,
                 )
                 ld = nerf_loss(
                     out, target,
@@ -313,6 +331,7 @@ class NeRFSystem:
             }
             return loss, aux
 
+        self._loss_fn = loss_fn  # exposed for the DP-equivalence test
         self.train_step = make_train_step(loss_fn, self.optimizer, self.mesh)
 
         if moe:

@@ -5,12 +5,17 @@ interchangeable through `load_ckpt`, including the hparams sidecar and the
 slim/warm-start utilities built on top.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from test_fast.sh
+
 import os
 
 import jax.numpy as jnp
 import numpy as np
 
 from radnerf_tpu.utils.ckpt import (
+
     OrbaxAsyncWriter,
     load_ckpt,
     load_weights_into,

@@ -7,6 +7,10 @@ path — on ray-coherent inputs (dedup active) AND on scrambled inputs
 (overflow -> lax.cond fallback).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from test_fast.sh
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,6 +18,7 @@ import numpy as np
 from radnerf_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, \
     init_hashgrid_table
 from radnerf_tpu.ops.hashgrid_dedup import (
+
     BLOCK,
     _group_levels,
     hashgrid_encode_dedup,

@@ -200,3 +200,47 @@ class TestCalcDt:
         assert dt[1] == np.float32(cfg.dt_min)  # 0.2/256 < dt_min
         assert abs(dt[2] - 30.0 / 256) < 1e-6
         assert dt[3] == np.float32(cfg.dt_max)
+
+
+class TestOccupancyRunDedup:
+    def test_matches_full_gather(self):
+        """occupancy_lookup_runs is exact: per-block run dedup merges only
+        candidates with identical (mip, cell) flat indices."""
+        import jax
+
+        from radnerf_tpu.ops.marching import (
+            occupancy_lookup, occupancy_lookup_runs,
+        )
+
+        cfg = MarchConfig(scale=0.5, cascades=1, grid_size=64)
+        rng = np.random.default_rng(3)
+        occ = jnp.asarray(rng.random((1, 64, 64, 64)) < 0.3)
+        N, K = 16, 300   # K not a multiple of the 256 block: exercises pad
+        o = rng.normal(size=(N, 3))
+        o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.2
+        d = -o / np.linalg.norm(o, axis=1, keepdims=True)
+        t = 0.7 + np.arange(K) * cfg.dt_min
+        xyz = jnp.asarray(
+            o[:, None, :] + t[None, :, None] * d[:, None, :], jnp.float32
+        )
+        dt = jnp.full((N, K), cfg.dt_min, jnp.float32)
+        full = occupancy_lookup(xyz, dt, occ, cfg)
+        ded = occupancy_lookup_runs(xyz, dt, occ, cfg)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(ded))
+
+    def test_exp_stepping_falls_back(self):
+        """Non-zero exp_step_factor (unbounded configs) must route to the
+        plain gather — the run cap derivation assumes dt == dt_min."""
+        from radnerf_tpu.ops.marching import (
+            occupancy_lookup, occupancy_lookup_runs,
+        )
+
+        cfg = MarchConfig(scale=4.0, cascades=4, grid_size=32,
+                          exp_step_factor=1 / 256)
+        rng = np.random.default_rng(4)
+        occ = jnp.asarray(rng.random((4, 32, 32, 32)) < 0.3)
+        xyz = jnp.asarray(rng.normal(size=(8, 64, 3)) * 2, jnp.float32)
+        dt = jnp.asarray(rng.random((8, 64)) * 0.05 + 0.001, jnp.float32)
+        full = occupancy_lookup(xyz, dt, occ, cfg)
+        ded = occupancy_lookup_runs(xyz, dt, occ, cfg)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(ded))

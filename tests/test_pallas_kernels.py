@@ -1,6 +1,10 @@
 """Pallas kernel tests (interpret mode on CPU): the hash-grid table
 gradient must match the XLA-autodiff scatter exactly."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from test_fast.sh
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +16,7 @@ from radnerf_tpu.ops.hashgrid import (
     init_hashgrid_table,
 )
 from radnerf_tpu.ops.hashgrid_pallas import (
+
     hashgrid_encode_fused,
     hashgrid_table_grad,
 )

@@ -11,6 +11,8 @@ import pytest
 
 from .fixtures import make_nsvf_dataset
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from scripts/test_fast.sh
+
 
 class HP:
     """Minimal hparams namespace (argparse twin)."""
@@ -146,11 +148,16 @@ class TestOtherTrainers:
 class TestDataParallelEquivalence:
     def test_grad_matches_single_device(self, scene_root, tmp_path,
                                         monkeypatch):
-        """Ray-sharded step over 8 devices == same step on 1 device
-        (SURVEY.md §4: host-count invariance)."""
+        """Ray-sharded gradients over 8 devices == the same batch on 1
+        device, allclose at f32 tolerance (SURVEY.md §4 host-count
+        invariance). This is binding because per-ray start jitter is
+        derived from GLOBAL ray ids (trainer loss_fn), not from a
+        per-device key fold — the only residual difference is the
+        cross-device pmean's summation order."""
         monkeypatch.chdir(tmp_path)
         import jax
 
+        from radnerf_tpu.parallel.step import make_grad_fn
         from radnerf_tpu.train.trainer import NeRFSystem
 
         res = {}
@@ -162,15 +169,21 @@ class TestDataParallelEquivalence:
             system.update_grid(warmup=True)
             key = jax.random.PRNGKey(0)
             batch = system._shard(system.sample_batch_indices(key))
-            step_key = jax.random.PRNGKey(1)
-            (tr, _, loss, _) = system.train_step(
-                system.trainable, system.opt_state, system.model_state,
-                batch, system.data, step_key,
+            grad_fn = make_grad_fn(system._loss_fn, system.mesh)
+            loss, grads = grad_fn(
+                system.trainable, system.model_state, batch, system.data,
+                jax.random.PRNGKey(1),
             )
-            res[ndev] = (float(loss), tr)
-        # NOTE exact equality is not expected: the per-device RNG fold-in
-        # gives different ray jitters; losses must be close in expectation.
-        assert abs(res[1][0] - res[8][0]) / abs(res[1][0]) < 0.5
+            res[ndev] = (float(loss), jax.device_get(grads))
+        np.testing.assert_allclose(res[1][0], res[8][0], rtol=1e-5)
+        flat1 = jax.tree_util.tree_leaves(res[1][1])
+        flat8 = jax.tree_util.tree_leaves(res[8][1])
+        assert len(flat1) == len(flat8)
+        for a, b in zip(flat1, flat8):
+            scale = max(float(np.max(np.abs(a))), 1e-8)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5 * scale
+            )
 
 
 class TestOptimizeExt:

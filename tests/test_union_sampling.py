@@ -27,6 +27,8 @@ from radnerf_tpu.ops.trunc_exp import trunc_exp
 from radnerf_tpu.render.ml_render import _expert_samples_union_flat
 from radnerf_tpu.render.render import NEAR_DISTANCE, RenderConfig
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from scripts/test_fast.sh
+
 
 K_EXPERTS = 2
 
