@@ -99,13 +99,40 @@ def main():
 
     @jax.jit
     def step(bundle, opt_state, key):
+        # returns the updated bundle: a loss-only return lets XLA dead-code
+        # the entire backward pass (docs/PERF_NOTES.md gotcha)
         loss, grads = jax.value_and_grad(loss_fn)(bundle, key)
         updates, opt_state = optimizer.update(grads, opt_state)
         bundle = optax.apply_updates(bundle, updates)
-        return loss
+        return loss, bundle, opt_state
 
     key = jax.random.PRNGKey(7)
     print(f"full step          {timeit(step, bundle, opt_state, key)*1e3:9.2f} ms",
+          flush=True)
+
+    @jax.jit
+    def grads_only(bundle, key):
+        loss, grads = jax.value_and_grad(loss_fn)(bundle, key)
+        return loss, grads
+
+    print(f"fw+bw (no adam)    {timeit(grads_only, bundle, key)*1e3:9.2f} ms",
+          flush=True)
+
+    def loss_fn_sg_table(b, key):
+        b2 = {
+            "model": {**b["model"],
+                      "hash_table": jax.lax.stop_gradient(
+                          b["model"]["hash_table"])},
+            "gate": b["gate"],
+        }
+        return loss_fn(b2, key)
+
+    @jax.jit
+    def grads_sg_table(bundle, key):
+        loss, grads = jax.value_and_grad(loss_fn_sg_table)(bundle, key)
+        return loss, grads
+
+    print(f"fw+bw, table sg    {timeit(grads_sg_table, bundle, key)*1e3:9.2f} ms",
           flush=True)
 
     fwd = jax.jit(lambda b, k: loss_fn(b, k))

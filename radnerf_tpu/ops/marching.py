@@ -288,7 +288,14 @@ def _compact_keep(t, dt, keep, S):
     Scatter-free: XLA serializes scatter on TPU (~12M updates/s), so the
     compaction is formulated as a per-row binary search instead — slot s of
     ray r holds candidate k(r, s) = searchsorted(cumsum(keep)[r], s+1),
-    which lowers to log2(K) vectorized gathers."""
+    which lowers to log2(K) vectorized gathers.
+
+    ts/deltas are emitted under stop_gradient: the reference's compositor
+    backward produces dL_dsigmas/dL_drgbs ONLY (volumerendering.cu:87-203,
+    custom_functions.py:148-159) — without the barrier, XLA autodiff of
+    the downstream compositing drags cotangents back through these gathers
+    as serialized scatter-adds (measured: the batch-8192 backward tripled).
+    """
     N, K = keep.shape
     within = jnp.cumsum(keep.astype(jnp.int32), axis=1)  # inclusive count
     targets = jnp.arange(1, S + 1, dtype=jnp.int32)
@@ -300,6 +307,8 @@ def _compact_keep(t, dt, keep, S):
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < n_samples[:, None]
     ts = jnp.where(valid, jnp.take_along_axis(t, k_idx, axis=1), 0.0)
     deltas = jnp.where(valid, jnp.take_along_axis(dt, k_idx, axis=1), 0.0)
+    ts = jax.lax.stop_gradient(ts)
+    deltas = jax.lax.stop_gradient(deltas)
     return ts, deltas, valid, n_samples
 
 
@@ -443,28 +452,43 @@ def _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray):
     total_c = jnp.minimum(bounds[-1], B)
 
     j = jnp.arange(B, dtype=jnp.int32)
-    ray_id = jnp.searchsorted(bounds, j, side="right").astype(jnp.int32)
-    ray_id = jnp.minimum(ray_id, N - 1)
+    # ray id per slot: +1 at each ray's start offset, cumsum - 1. Replaces
+    # a searchsorted over `bounds` (log N gathers per slot); empty rays
+    # scatter onto the same slot as their successor and are skipped by the
+    # cumulative count. Offsets beyond the buffer spill into slot B
+    # (dropped by the [:B] view).
+    starts = jnp.zeros((B + 1,), jnp.int32).at[
+        jnp.minimum(offsets, B)
+    ].add(1, mode="drop")
+    ray_id = jnp.cumsum(starts[:B]) - 1
+    ray_id = jnp.clip(ray_id, 0, N - 1)
     valid = j < total_c
     within_idx = j - offsets[ray_id]  # rank within the ray's kept samples
 
-    # per-slot binary search over this ray's cumulative-keep row:
-    # find smallest k with within[ray, k] >= within_idx + 1
-    target = within_idx + 1
-    lo = jnp.zeros((B,), jnp.int32)
-    hi = jnp.full((B,), K, jnp.int32)
-    flat_within = within.reshape(-1)
-    for _ in range(K.bit_length()):
-        mid = (lo + hi) // 2
-        v = jnp.take(flat_within, ray_id * K + jnp.minimum(mid, K - 1))
-        go_right = v < target
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    k_sel = jnp.minimum(lo, K - 1)
+    # candidate index of each ray's i-th kept sample, via ONE per-ray sort
+    # (kept candidates keep their order; non-kept sort to the tail) —
+    # replaces a log2(K)-round binary search (11 x B gathers at K=1024)
+    slot_rank = jnp.where(keep, within - 1, K)
+    _, k_sorted = jax.lax.sort(
+        (slot_rank,
+         jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (N, K))),
+        dimension=-1, num_keys=1, is_stable=False,
+    )
+    k_sel = jnp.take(
+        k_sorted.reshape(-1),
+        ray_id * K + jnp.minimum(within_idx, K - 1),
+    )
+    k_sel = jnp.minimum(k_sel, K - 1)
 
     flat = ray_id * K + k_sel
-    ts = jnp.where(valid, jnp.take(t.reshape(-1), flat), 0.0)
-    deltas = jnp.where(valid, jnp.take(dt.reshape(-1), flat), 0.0)
+    # stop_gradient: composite grads go to sigmas/rgbs only (see
+    # _compact_keep) — otherwise the take's transpose is a scatter-add
+    ts = jax.lax.stop_gradient(
+        jnp.where(valid, jnp.take(t.reshape(-1), flat), 0.0)
+    )
+    deltas = jax.lax.stop_gradient(
+        jnp.where(valid, jnp.take(dt.reshape(-1), flat), 0.0)
+    )
     return {
         "ts": ts,
         "deltas": deltas,

@@ -10,6 +10,16 @@ from jax.sharding import Mesh
 RAY_AXIS = "ray"
 
 
+def distributed_is_initialized() -> bool:
+    """True iff jax.distributed has a live client in this process."""
+    if hasattr(jax.distributed, "is_initialized"):   # JAX >= 0.4.35
+        return bool(jax.distributed.is_initialized())
+    from jax._src import distributed as _dist      # pragma: no cover
+
+    state = getattr(_dist, "global_state", None)
+    return state is not None and getattr(state, "client", None) is not None
+
+
 def initialize_multihost(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -22,17 +32,16 @@ def initialize_multihost(
     for bring-your-own clusters. After this, `jax.devices()` is the GLOBAL
     device list and `make_mesh()` spans every chip in the slice — the ray
     batch shards globally, grad pmean rides ICI within a slice and DCN
-    across slices. Safe to call when already initialized (no-op).
+    across slices. Safe to call when already initialized (no-op via
+    distributed_is_initialized, not error-string matching).
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
+    if distributed_is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(num_devices: int = 0, axis_name: str = RAY_AXIS) -> Mesh:

@@ -479,9 +479,20 @@ class NeRFSystem:
                 imgs_d = jnp_get_rays(
                     jnp.broadcast_to(self.mean_dir, (chunk, 3)), poses_c
                 )[1]
-                out = self.render_chunk(
-                    self.trainable, self.model_state, rays_o, rays_d, imgs_d
-                )
+                if not self.moe and getattr(h, "val_compaction", True):
+                    # host-side alive-ray compaction between while-loop
+                    # phases: retired rays stop paying field evals
+                    from ..render.render import render_test_compacted
+
+                    out = render_test_compacted(
+                        self.params, self.model_state, self.cfg,
+                        rays_o, rays_d, self.rcfg,
+                    )
+                else:
+                    out = self.render_chunk(
+                        self.trainable, self.model_state, rays_o, rays_d,
+                        imgs_d,
+                    )
                 rgb = np.asarray(out["rgb"])
                 depth = np.asarray(out["depth"])
                 if self.moe:  # gated consensus depth (train_ml.py:243)

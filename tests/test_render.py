@@ -202,3 +202,35 @@ class TestLosses:
         np.testing.assert_allclose(
             float(jnp.mean(ld["cv_importance"])), want, rtol=1e-5
         )
+
+
+class TestCompactedTestRender:
+    def test_matches_uncompacted(self):
+        """render_test_compacted (host-side alive-ray compaction between
+        while-loop phases) must produce the same image as render_test —
+        compaction only moves dead rays out of the lanes."""
+        from radnerf_tpu.render.render import render_test_compacted
+
+        cfg = NGPConfig(scale=0.5, grid_size=16)
+        state = init_ngp_state(cfg)
+        state = {**state, "occ": jnp.ones_like(state["occ"])}
+        rays_o, rays_d = make_rays(n=53, seed=5)   # odd N: exercises pads
+        rcfg = RenderConfig(samples_per_ray=768)
+        ref = render_test(
+            None, state, cfg, rays_o, rays_d, rcfg, forward_fn=const_forward
+        )
+        out = render_test_compacted(
+            None, state, cfg, rays_o, rays_d, rcfg,
+            forward_fn=const_forward, phase_iters=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["opacity"]), np.asarray(ref["opacity"]),
+            atol=1e-5,
+        )
+        assert int(out["total_samples"]) <= int(ref["total_samples"])
