@@ -29,12 +29,11 @@ ASSUMED_3090_RAYS_PER_S = 1e5
 
 def main():
     ap = argparse.ArgumentParser()
-    # Default 2048 rather than the reference's 8192: the hash-table
-    # gradient (a serial row-RMW Pallas kernel) dominates the step, so
-    # rays/s is ~batch-independent, while 8192 currently exceeds the
-    # v5e-1 HBM during compile (the OOM fallback below would eat the
-    # driver's time budget in recompiles). See examples/bench_hashgrid.py.
-    ap.add_argument("--batch", type=int, default=2048)
+    # The reference headline batch (opt.py:55). Rays/s is ~batch-flat up
+    # to 4096; one 8192 pass hits a v5e-1 HBM-pressure cliff, so the
+    # default pairs it with 2-way gradient accumulation (identical
+    # expected gradient up to summation order; docs/PERF_NOTES.md).
+    ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--experts", type=int, default=2)
     ap.add_argument("--samples_per_ray", type=int, default=192)
     ap.add_argument("--layout", type=str, default="flat",
@@ -45,6 +44,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--log2_T", type=int, default=19)
     ap.add_argument("--grid", type=int, default=128)
+    ap.add_argument("--microbatch", type=int, default=2,
+                    help="gradient-accumulation slices per step (0 = off;"
+                         " 2 recovers full throughput at batch 8192)")
     args = ap.parse_args()
 
     import jax
@@ -112,12 +114,26 @@ def main():
         )
         return total_loss(ld)
 
-    @jax.jit
-    def step(bundle, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(bundle, batch, key)
-        updates, opt_state = optimizer.update(grads, opt_state)
-        bundle = optax.apply_updates(bundle, updates)
-        return bundle, opt_state, loss
+    if args.microbatch > 1:
+        from radnerf_tpu.parallel.step import microbatched_value_and_grad
+
+        vg = microbatched_value_and_grad(
+            lambda b, m, k: (loss_fn(b, m, k), {}), args.microbatch
+        )
+
+        @jax.jit
+        def step(bundle, opt_state, batch, key):
+            (loss, _), grads = vg(bundle, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            bundle = optax.apply_updates(bundle, updates)
+            return bundle, opt_state, loss
+    else:
+        @jax.jit
+        def step(bundle, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(loss_fn)(bundle, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            bundle = optax.apply_updates(bundle, updates)
+            return bundle, opt_state, loss
 
     def make_batch(seed, n_rays):
         k = jax.random.PRNGKey(seed)

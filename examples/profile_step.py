@@ -135,6 +135,53 @@ def main():
     print(f"fw+bw, table sg    {timeit(grads_sg_table, bundle, key)*1e3:9.2f} ms",
           flush=True)
 
+    def loss_fn_sg_model(b, key):
+        b2 = {"model": jax.lax.stop_gradient(b["model"]), "gate": b["gate"]}
+        return loss_fn(b2, key)
+
+    @jax.jit
+    def grads_sg_model(bundle, key):
+        loss, grads = jax.value_and_grad(loss_fn_sg_model)(bundle, key)
+        return loss, grads
+
+    print(f"fw+bw, model sg    {timeit(grads_sg_model, bundle, key)*1e3:9.2f} ms",
+          flush=True)
+
+    # --- composite fw+bw standalone at stream shapes -------------------
+    from radnerf_tpu.ops.compositing import composite_train_flat
+
+    B = args.batch * args.budget_per_ray
+    kk = jax.random.PRNGKey(9)
+    sig = jax.random.uniform(kk, (2, B)) * 5
+    rgbv = jax.random.uniform(kk, (2, B, 3))
+    delt = jnp.full((B,), 1.7e-3)
+    tss = jnp.cumsum(jnp.full((B,), 1.7e-3))
+    rid_c = jnp.repeat(
+        jnp.arange(args.batch, dtype=jnp.int32), args.budget_per_ray
+    )
+    offs = jnp.arange(args.batch, dtype=jnp.int32) * args.budget_per_ray
+    capc = jnp.full((args.batch,), args.budget_per_ray, jnp.int32)
+    validc = jnp.ones((2, B), bool)
+
+    @jax.jit
+    def comp_fwbw(sig, rgbv):
+        def f(s, r):
+            out = jax.vmap(
+                lambda sk, rk, vk: composite_train_flat(
+                    sk, rk, delt, tss, rid_c, offs, capc, vk, 1e-4
+                )
+            )(s, r, validc)
+            return (
+                jnp.sum(out["rgb"]) + jnp.sum(out["opacity"])
+                + jnp.sum(out["depth"]) + jnp.sum(out["ws"])
+            )
+
+        l, g = jax.value_and_grad(f, argnums=(0, 1))(sig, rgbv)
+        return l, g
+
+    print(f"composite fw+bw    {timeit(comp_fwbw, sig, rgbv)*1e3:9.2f} ms",
+          flush=True)
+
     fwd = jax.jit(lambda b, k: loss_fn(b, k))
     print(f"render fw only     {timeit(fwd, bundle, key)*1e3:9.2f} ms",
           flush=True)

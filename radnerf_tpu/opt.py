@@ -136,6 +136,11 @@ def get_parser() -> argparse.ArgumentParser:
                           'tied to the impl family that trained them')
     tpu.add_argument('--val_chunk', type=int, default=65536,
                      help='rays per test-time render chunk')
+    tpu.add_argument('--microbatch', type=int, default=0,
+                     help='split each local ray batch into this many '
+                          'sequential gradient-accumulation slices '
+                          '(identical expected gradient, lower peak HBM; '
+                          'use 2 for batch 8192 on a single v5e chip)')
     tpu.add_argument('--multihost', action='store_true', default=False,
                      help='join a multi-host pod slice via '
                           'jax.distributed.initialize before building the '

@@ -32,6 +32,56 @@ except ImportError:  # pragma: no cover - older JAX
         )
 
 
+def microbatched_value_and_grad(loss3, microbatch: int):
+    """Gradient accumulation: split the batch into `microbatch` sequential
+    slices under lax.scan and average (loss, aux, grads).
+
+    `loss3(params, batch, key) -> (loss, aux)`; batch leaves split on the
+    leading axis. The expected gradient is identical to one full-batch
+    pass at a fraction of the peak memory (measured: batch 8192 falls off
+    a v5e-1 throughput cliff that batch<=4096 avoids — PERF_NOTES.md);
+    batch-statistic loss terms (the MoE cv load-balance loss) become
+    per-microbatch estimates averaged, a documented deviation."""
+    tmap = jax.tree_util.tree_map
+
+    def vg(params, batch, key):
+        def split(x):
+            n = x.shape[0]
+            assert n % microbatch == 0, (
+                f"batch {n} not divisible by microbatch {microbatch}"
+            )
+            return x.reshape((microbatch, n // microbatch) + x.shape[1:])
+
+        mb = tmap(split, batch)
+
+        # every slice sees the SAME key: per-ray randomness is derived
+        # from global ray ids inside the loss, so slicing must not change
+        # it — this makes microbatch=N bitwise-equivalent (up to summation
+        # order) to the full-batch pass
+        def one(m):
+            (loss, aux), grads = jax.value_and_grad(
+                loss3, has_aux=True
+            )(params, m, key)
+            return loss, tmap(lambda x: x.astype(jnp.float32), aux), grads
+
+        def body(carry, m):
+            loss, aux, grads = one(m)
+            cl, ca, cg = carry
+            return (
+                cl + loss, tmap(jnp.add, ca, aux), tmap(jnp.add, cg, grads),
+            ), None
+
+        shapes = jax.eval_shape(one, tmap(lambda x: x[0], mb))
+        zeros = tmap(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        (loss, aux, grads), _ = jax.lax.scan(body, zeros, mb)
+        inv = 1.0 / microbatch
+        return (
+            loss * inv, tmap(lambda x: x * inv, aux)
+        ), tmap(lambda g: g * inv, grads)
+
+    return vg
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "ray") -> dict:
     """Place a host batch with its leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))
@@ -46,6 +96,7 @@ def make_train_step(
     mesh: Mesh,
     axis: str = "ray",
     donate: bool = True,
+    microbatch: int = 0,
 ):
     """Build the jitted data-parallel step.
 
@@ -55,6 +106,14 @@ def make_train_step(
             is replicated.
         optimizer: an optax GradientTransformation.
         mesh: 1-D device mesh.
+        microbatch: if > 1, split the local ray shard into this many
+            sequential microbatches under lax.scan and average losses and
+            gradients — identical expected gradient at a fraction of the
+            peak memory (measured: batch 8192 falls off a throughput
+            cliff on v5e-1 that batch<=4096 avoids; docs/PERF_NOTES.md).
+            Batch-statistic loss terms (the MoE cv load-balance loss)
+            are then estimated per microbatch and averaged — a documented
+            deviation from one full-batch estimate.
     Returns:
         step(params, opt_state, model_state, batch, data, key)
             -> (params, opt_state, loss, aux)
@@ -68,9 +127,12 @@ def make_train_step(
         # it is already decorrelated across rays AND device-count
         # invariant; remaining whole-batch draws (random background) must
         # be shared across devices to match single-device semantics.
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, model_state, batch, data, key
-        )
+        loss3 = lambda p, b, k: loss_fn(p, model_state, b, data, k)
+        if microbatch and microbatch > 1:
+            vg = microbatched_value_and_grad(loss3, microbatch)
+        else:
+            vg = jax.value_and_grad(loss3, has_aux=True)
+        (loss, aux), grads = vg(params, batch, key)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         aux = jax.tree_util.tree_map(

@@ -332,7 +332,10 @@ class NeRFSystem:
             return loss, aux
 
         self._loss_fn = loss_fn  # exposed for the DP-equivalence test
-        self.train_step = make_train_step(loss_fn, self.optimizer, self.mesh)
+        self.train_step = make_train_step(
+            loss_fn, self.optimizer, self.mesh,
+            microbatch=getattr(h, "microbatch", 0),
+        )
 
         if moe:
             self._grid_update = jax.jit(

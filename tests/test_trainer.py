@@ -233,3 +233,49 @@ class TestOptimizeExt:
         # zero rotation -> identity (the init point must be exact & finite)
         z = np.asarray(jnp_axisangle_to_R(np.zeros((1, 3), np.float32)))
         np.testing.assert_allclose(z[0], np.eye(3), atol=1e-6)
+
+
+class TestMicrobatchAccumulation:
+    def test_matches_full_batch_gradients(self, scene_root, tmp_path,
+                                          monkeypatch):
+        """microbatch=2 gradient accumulation == one full-batch pass:
+        the expected gradient is identical (losses are means over rays;
+        per-ray jitter is global-ray-id derived, so slicing the batch
+        changes nothing). f32 compute -> tight tolerance."""
+        monkeypatch.chdir(tmp_path)
+        import jax
+
+        from radnerf_tpu.parallel.step import (
+            make_grad_fn, microbatched_value_and_grad,
+        )
+        from radnerf_tpu.train.trainer import NeRFSystem
+
+        system = _shrink(
+            NeRFSystem(HP(scene_root, num_devices=1, seed=11)), steps=2
+        )
+        system.update_grid(warmup=True)
+        batch = system.sample_batch_indices(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+
+        full = make_grad_fn(system._loss_fn, system.mesh)
+        loss_f, grads_f = full(
+            system.trainable, system.model_state, batch, system.data, key
+        )
+
+        loss3 = lambda p, b, k: system._loss_fn(
+            p, system.model_state, b, system.data, k
+        )
+        vg = jax.jit(microbatched_value_and_grad(loss3, 2))
+        (loss_m, _), grads_m = vg(system.trainable, batch, key)
+
+        np.testing.assert_allclose(
+            float(loss_f), float(loss_m), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(grads_f)),
+            jax.tree_util.tree_leaves(jax.device_get(grads_m)),
+        ):
+            scale = max(float(np.max(np.abs(a))), 1e-8)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=max(1e-4 * scale, 1e-8)
+            )
