@@ -57,12 +57,29 @@ def run_sphere(args):
     key = jax.random.PRNGKey(args.seed)
     params = init_ngp(key, cfg)
     state = init_ngp_state(cfg)
-    state = {**state, "occ": jnp.ones_like(state["occ"])}
+    # Analytic occupancy of the ground-truth sphere (radius 0.3 + one-cell
+    # margin). The GT render ALWAYS uses it (full-quality target); the
+    # model starts from it too (a realistic converged grid — an all-ones
+    # grid plus the static per-ray budget would front-truncate the march
+    # before the sphere is ever sampled) and refines it with the usual
+    # density-grid updates.
+    G = cfg.grid_size
+    lin = (np.arange(G) + 0.5) / G * 2.0 - 1.0
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    r_cell = np.sqrt(xx**2 + yy**2 + zz**2) * cfg.scale
+    occ0 = jnp.asarray(
+        np.broadcast_to(
+            (r_cell < 0.3 + 2.0 * cfg.scale * 2 / G)[None],
+            (cfg.cascades, G, G, G),
+        )
+    )
+    gt_state = {**state, "occ": occ0}
+    state = {**state, "occ": occ0}
     opt = optax.adam(1e-2, eps=1e-15)
     opt_state = opt.init(params)
 
     def render_gt(key, rays_o, rays_d):
-        out = render_train(None, state, cfg, rays_o, rays_d, key, rcfg,
+        out = render_train(None, gt_state, cfg, rays_o, rays_d, key, rcfg,
                            forward_fn=gt_field)
         return out["rgb"]
 

@@ -151,11 +151,15 @@ def _make_rows_fn(cfg: HashGridConfig, levels: list[int], addr: str):
         rows = []
         for gi, a in enumerate(addrs):
             q, m = _qm(a, cx[gi], cy[gi], cz[gi], zc)
+            inner = (q + jnp.uint32(yr)) * jnp.uint32(a.C) + m + jnp.uint32(
+                xr
+            )
+            # boundary corner lands on T: clamp (grad dropped by the pair
+            # backward's spare row — see hashgrid_slab._encode_group)
             rows.append(
                 (
                     jnp.uint32(a.level * T)
-                    + (q + jnp.uint32(yr)) * jnp.uint32(a.C)
-                    + m + jnp.uint32(xr)
+                    + jnp.minimum(inner, jnp.uint32(T - 1))
                 ).astype(jnp.int32)
             )
         return jnp.stack(rows)

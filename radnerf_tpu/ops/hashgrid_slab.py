@@ -195,10 +195,19 @@ def _encode_group(packed_flat, xp, cfg, group: list[_LevelAddr]):
         m = jnp.stack(ms)
         for yr in (0, 1):
             wy = fy if yr else (1.0 - fy)
-            base = lvl_off + (q + jnp.uint32(yr)) * jnp.uint32(C) + m
+            base = (q + jnp.uint32(yr)) * jnp.uint32(C) + m
             for xr in (0, 1):
                 wx = fx if xr else (1.0 - fx)
-                flat = (base + jnp.uint32(xr)).astype(jnp.int32)
+                # clamp the single boundary corner (q=R-2, m=C-1, yr=xr=1)
+                # whose additive address lands on T — its gradient is
+                # dropped into the spare slab row by the backward, so the
+                # forward reads entry T-1 (documented ~2e-6 inexactness;
+                # an unclamped index would hit jnp.take's OOB fill, whose
+                # u32 sentinel unpacks to bf16 NaN)
+                flat = (
+                    lvl_off
+                    + jnp.minimum(base + jnp.uint32(xr), jnp.uint32(T - 1))
+                ).astype(jnp.int32)
                 g = jnp.take(packed_flat, flat.reshape(-1)).reshape(Lg, N)
                 lo, hi = _unpack_bf16(g)
                 w = wz * wy * wx

@@ -180,3 +180,26 @@ def test_corner_sharing_continuity():
         np.asarray(out[0], np.float32), np.asarray(out[1], np.float32),
         rtol=0.05, atol=0.05,
     )
+
+
+def test_no_nan_on_boundary_corners():
+    """Regression: the additive address of the (q=R-2, m=C-1, y+1, x+1)
+    corner lands exactly on T; unclamped it hit jnp.take's out-of-bounds
+    fill, whose u32 sentinel unpacks to bf16 NaN (10 NaNs per ~1.5M
+    samples at the convergence config). The forward clamps to T-1."""
+    cfg = HashGridConfig.for_scene_scale(0.5, n_levels=8, log2_table_size=15)
+    table = init_hashgrid_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (98304, 3))
+    out = np.asarray(hashgrid_encode_slab_fwd_impl(table, x, cfg),
+                     np.float32)
+    assert np.isfinite(out).all()
+
+    from radnerf_tpu.ops.hashgrid_dedup import hashgrid_encode_dedup_fwd_impl
+
+    out2 = np.asarray(
+        hashgrid_encode_dedup_fwd_impl(
+            table, x, cfg, jnp.bfloat16, addr="slab"
+        ),
+        np.float32,
+    )
+    assert np.isfinite(out2).all()
