@@ -81,18 +81,22 @@ def main():
         # warmup on one chunk
         out = run(rays_o_all[: args.chunk], rays_d_all[: args.chunk])
         _ = float(jnp.sum(out["opacity"]))
-        t0 = time.time()
-        total = 0
-        for c0 in range(0, n_rays, args.chunk):
-            c1 = min(c0 + args.chunk, n_rays)
-            if c1 - c0 < args.chunk:
-                break  # skip ragged tail for timing cleanliness
-            out = run(rays_o_all[c0:c1], rays_d_all[c0:c1])
-            total += c1 - c0
-        _ = float(jnp.sum(out["opacity"]))
-        dt = time.time() - t0
-        print(f"{name:28s} {total/dt:12,.0f} rays/s "
-              f"({dt:.2f}s for {total} rays)", flush=True)
+        # two passes: the first pays per-bucket compiles (compacted path),
+        # the second is the steady-state number a training run sees at
+        # every validation after the first
+        for label in ("cold", "warm"):
+            t0 = time.time()
+            total = 0
+            for c0 in range(0, n_rays, args.chunk):
+                c1 = min(c0 + args.chunk, n_rays)
+                if c1 - c0 < args.chunk:
+                    break  # skip ragged tail for timing cleanliness
+                out = run(rays_o_all[c0:c1], rays_d_all[c0:c1])
+                total += c1 - c0
+            _ = float(jnp.sum(out["opacity"]))
+            dt = time.time() - t0
+            print(f"{name:28s} [{label}] {total/dt:12,.0f} rays/s "
+                  f"({dt:.2f}s for {total} rays)", flush=True)
 
 
 if __name__ == "__main__":

@@ -535,7 +535,7 @@ def march_rays_test_block(
     dt = calc_dt(t, cfg)
     in_range = (cursor[:, None] >= 0) & (t < t2[:, None])
     xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
-    occ = occupancy_lookup(xyz, dt, occ_grid, cfg)
+    occ = occupancy_lookup_runs(xyz, dt, occ_grid, cfg)
     keep = in_range & occ
 
     ts, deltas, valid, got = _compact_keep(t, dt, keep, S)

@@ -350,33 +350,29 @@ def render_test_compacted(
     total_samples = 0
     idx = np.arange(N)
     carry = None
-    rays_o_np = np.asarray(rays_o)
-    rays_d_np = np.asarray(rays_d)
-    # pad lanes hold a ray that misses the scene box: dead from birth, so
-    # they cost no field evals and no sample counts
-    miss_o = np.array([4.0, 0.0, 0.0], np.float32)
-    miss_d = np.array([1.0, 0.0, 0.0], np.float32)
+    # index N selects a ray that misses the scene box: pad lanes are dead
+    # from birth (no field evals, no sample counts). Rays stay ON DEVICE —
+    # only the small done-mask and per-phase outputs cross the host (the
+    # axon tunnel makes bulk host round-trips ~2 s / 25 MB).
+    miss_o = jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32)
+    miss_d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    ro_ext = jnp.concatenate([jnp.asarray(rays_o), miss_o], axis=0)
+    rd_ext = jnp.concatenate([jnp.asarray(rays_d), miss_d], axis=0)
     for _ in range(total_phases):
         n = len(idx)
         bucket = max(128, 1 << (n - 1).bit_length())
         pad = bucket - n
-        sel = np.concatenate([idx, np.full(pad, idx[-1])]) if pad else idx
-        ro = np.asarray(rays_o_np)[sel]
-        rd = np.asarray(rays_d_np)[sel]
-        if pad:
-            ro = ro.copy()
-            rd = rd.copy()
-            ro[n:] = miss_o
-            rd[n:] = miss_d
-        ro = jnp.asarray(ro)
-        rd = jnp.asarray(rd)
+        sel_np = np.concatenate([idx, np.full(pad, N)]) if pad else idx
+        sel = jnp.asarray(sel_np, jnp.int32)
+        ro = jnp.take(ro_ext, sel, axis=0)
+        rd = jnp.take(rd_ext, sel, axis=0)
         out, carry2, done = phase_fn(params, state, ro, rd, carry)
-        done_np = np.array(done)   # writable copy
+        done_np = np.array(done)   # small (bucket,) transfer
         if pad:
             done_np[n:] = True
         total_samples += int(out["total_samples"])
         for k in out_np:
-            out_np[k][sel[:n]] = np.asarray(out[k])[:n]
+            out_np[k][idx] = np.asarray(out[k])[:n]
         alive = ~done_np[:n]
         if not alive.any():
             carry = None
@@ -384,25 +380,29 @@ def render_test_compacted(
             break
         keep = np.nonzero(alive)[0]
         idx = idx[keep]
-        # gather the carry down to the surviving rays (padded next phase;
-        # MUST use the same bucket formula as the loop head)
+        # gather the carry down to the surviving rays ON DEVICE (padded to
+        # the next phase's bucket; MUST use the loop head's formula)
         n2 = len(keep)
         bucket2 = max(128, 1 << (n2 - 1).bit_length())
         pad2 = bucket2 - n2
-        ksel = np.concatenate([keep, np.full(pad2, keep[-1])]) if pad2 \
-            else keep
-        gather = lambda x: jnp.asarray(np.asarray(x)[ksel])
+        ksel = jnp.asarray(
+            np.concatenate([keep, np.full(pad2, keep[-1])]) if pad2
+            else keep,
+            jnp.int32,
+        )
+        # pad lanes must not march again into a real ray's accumulators:
+        # their alive flag is forced False device-side
+        lane_real = jnp.asarray(
+            np.arange(bucket2) < n2 if pad2 else np.ones(bucket2, bool)
+        )
+        gather = lambda x: jnp.take(x, ksel, axis=0)
+        acc = jax.tree_util.tree_map(gather, carry2["acc"])
+        acc["alive"] = acc["alive"] & lane_real
         carry = {
             "cursor": gather(carry2["cursor"]),
-            "acc": jax.tree_util.tree_map(gather, carry2["acc"]),
+            "acc": acc,
             "total_samples": jnp.asarray(0),   # per-phase counting
         }
-        # padded duplicate lanes must not march twice into the
-        # accumulators of a real ray: mark them dead
-        if pad2:
-            alive_arr = np.array(carry["acc"]["alive"])
-            alive_arr[n2:] = False
-            carry["acc"]["alive"] = jnp.asarray(alive_arr)
     return {
         **{k: jnp.asarray(v) for k, v in out_np.items()},
         "total_samples": jnp.asarray(total_samples),
