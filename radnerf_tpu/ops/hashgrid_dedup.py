@@ -259,15 +259,21 @@ def _encode_group_dedup(
         return jnp.stack(f0s), jnp.stack(f1s)        # (8, G, ...)
 
     def dedup_path(_):
-        # run representatives: sort (new ? position : W) with coord payloads
+        # run representatives: sort (new ? position : W) with the voxel
+        # coords PACKED into one payload (grouped levels have res <= 285
+        # by the cap rule, so 10 bits/axis suffice) — halves the sort's
+        # payload traffic vs three separate coord arrays
         key = jnp.where(
             new, jax.lax.broadcasted_iota(jnp.int32, new.shape, 2), W
         )
-        _, ux, uy, uz = jax.lax.sort(
-            (key, pos_i[..., 0], pos_i[..., 1], pos_i[..., 2]),
-            dimension=-1, num_keys=1, is_stable=False,
+        pc = (
+            pos_i[..., 0] + (pos_i[..., 1] << 10) + (pos_i[..., 2] << 20)
         )
-        ux, uy, uz = ux[..., :U], uy[..., :U], uz[..., :U]   # (G, R, U)
+        _, up = jax.lax.sort(
+            (key, pc), dimension=-1, num_keys=1, is_stable=False,
+        )
+        up = up[..., :U]                                     # (G, R, U)
+        ux, uy, uz = up & 1023, (up >> 10) & 1023, up >> 20
         fu0, fu1 = corner_feats(ux, uy, uz)                  # (8, G, R, U)
         # broadcast runs -> samples: one-hot (G, R, W, U) matmul on the MXU
         onehot = (
@@ -387,11 +393,14 @@ def _group_grad(xb, levels, U, cfg, g0, g1, block, interpret):
         key = jnp.where(
             new, jax.lax.broadcasted_iota(jnp.int32, new.shape, 2), W
         )
-        _, ux, uy, uz = jax.lax.sort(
-            (key, pos_i[..., 0], pos_i[..., 1], pos_i[..., 2]),
-            dimension=-1, num_keys=1, is_stable=False,
+        pc = (
+            pos_i[..., 0] + (pos_i[..., 1] << 10) + (pos_i[..., 2] << 20)
         )
-        ux, uy, uz = ux[..., :U], uy[..., :U], uz[..., :U]
+        _, up = jax.lax.sort(
+            (key, pc), dimension=-1, num_keys=1, is_stable=False,
+        )
+        up = up[..., :U]
+        ux, uy, uz = up & 1023, (up >> 10) & 1023, up >> 20
         rows = rows_for(ux, uy, uz)                   # (8, G, R, U)
         onehot = (
             rank[..., None]

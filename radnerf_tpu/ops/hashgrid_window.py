@@ -237,6 +237,10 @@ def hashgrid_table_grad_window(
         return sorted_table_grad_window(sk, s0, s1, T, interpret=interpret)
 
 
+W2_ROWS = 128            # pair-kernel window: 2 slab sublanes per step
+WIN2_FLAT = 2 * W2_ROWS
+
+
 def _window_scatter_pair_kernel(
     sk_ref, s0e_ref, s0o_ref, s1e_ref, s1o_ref, out_ref
 ):
@@ -244,13 +248,17 @@ def _window_scatter_pair_kernel(
     rows (k, k+1) — the x-corner pair of the slab layout
     (ops/hashgrid_slab.py) — with independent (feature0, feature1) values
     for each. Halves the sorted-stream element count at the same total
-    payload words. Same slab/window geometry as _window_scatter_kernel."""
+    payload words. Windows span 128 table rows (2 slab sublanes): the
+    serial window walk is the kernel's bound (profiler: 27 ms at 6.3M
+    entries with 64-row windows), so wider windows trade vectorized
+    compare width for half the iterations."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    j = jax.lax.broadcasted_iota(jnp.int32, (1, WIN_FLAT), 1)
+    # flat feature position within a 128-lane sublane: row = j >> 1
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     j_row = j >> 1
     j_odd = (j & 1) == 1
 
@@ -264,19 +272,23 @@ def _window_scatter_pair_kernel(
         )
         r_lo = sk_ref[0, 0, s, 0]
         r_hi = sk_ref[0, 0, s, LANES - 1] + 1   # +1: the x-odd row
-        base0 = (r_lo >> 6) << 6
-        n_win = ((r_hi - base0) >> 6) + 1
+        base0 = (r_lo >> 7) << 7
+        n_win = ((r_hi - base0) >> 7) + 1
 
         def body(w, _, sk_s=sk_s, ve=ve, vo=vo, base0=base0):
-            base = base0 + w * W_ROWS
-            d = sk_s - base
-            m = jnp.where(d == j_row, ve, 0.0) + jnp.where(
-                d + 1 == j_row, vo, 0.0
-            )
-            contrib = jnp.sum(m, axis=0).reshape(1, WIN_FLAT)
-            sub = base >> 6
-            out_ref[0, pl.ds(sub, 1), :] = (
-                out_ref[0, pl.ds(sub, 1), :] + contrib
+            base = base0 + w * W2_ROWS
+            # two 64-row half-windows -> one (2, 128) two-sublane add
+            halves = []
+            for h in (0, 1):
+                d = sk_s - (base + 64 * h)
+                m = jnp.where(d == j_row, ve, 0.0) + jnp.where(
+                    d + 1 == j_row, vo, 0.0
+                )
+                halves.append(jnp.sum(m, axis=0).reshape(1, LANES))
+            contrib = jnp.concatenate(halves, axis=0)
+            sub = base >> 6                      # 128-row base -> even sub
+            out_ref[0, pl.ds(sub, 2), :] = (
+                out_ref[0, pl.ds(sub, 2), :] + contrib
             )
             return 0
 
@@ -296,11 +308,11 @@ def sorted_table_grad_window_pair(
 
     Entry i adds (s0e, s1e) to table row sk[i] and (s0o, s1o) to row
     sk[i] + 1 (features 0/1 respectively). Rows sk[i] + 1 == T spill into
-    the spare slab sublane and are dropped (the documented 2e-6 boundary
+    the spare slab sublanes and are dropped (the documented 2e-6 boundary
     case of the slab layout)."""
     L, n = sk.shape
     T = table_size
-    assert T % W_ROWS == 0
+    assert T % W2_ROWS == 0
     pad = (-n) % TILE
     if pad:
         sk = jnp.concatenate(
@@ -311,7 +323,9 @@ def sorted_table_grad_window_pair(
         )
     n_pad = n + pad
     n_tiles = n_pad // TILE
-    slab_rows = T * 2 // LANES + 1
+    # +2 spare sublanes: the final 128-row window can start at T and its
+    # two-sublane write must stay in bounds
+    slab_rows = T * 2 // LANES + 2
     shape4 = (L, n_tiles, TILE_SUB, LANES)
 
     slab = pl.pallas_call(
