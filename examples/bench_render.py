@@ -71,9 +71,9 @@ def main():
     )
 
     for name, run in (
-        ("render_test (dense lanes)",
+        ("render_test (flat, default)",
          lambda ro, rd: jit_plain(params, state, ro, rd)),
-        ("render_test_compacted",
+        ("dense + host compaction",
          lambda ro, rd: render_test_compacted(
              params, state, cfg, ro, rd, rcfg,
              phase_iters=args.phase_iters)),

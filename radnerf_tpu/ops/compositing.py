@@ -170,6 +170,84 @@ def composite_train_flat(
     }
 
 
+def segmented_cummax(v: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative max that resets at segment starts."""
+
+    def combine(x, y):
+        (va, fa), (vb, fb) = x, y
+        return (jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb)
+
+    out, _ = jax.lax.associative_scan(
+        combine, (v, jnp.broadcast_to(seg_start, v.shape))
+    )
+    return out
+
+
+def composite_test_flat(
+    sigmas: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    deltas: jnp.ndarray,
+    ts: jnp.ndarray,
+    ray_id: jnp.ndarray,
+    offsets: jnp.ndarray,
+    cap: jnp.ndarray,
+    valid: jnp.ndarray,
+    acc: dict,
+    T_threshold: float = 1e-4,
+) -> dict:
+    """Resumable compositing on the FLAT layout (test-time twin of
+    composite_train_flat + vren.composite_test_fw semantics).
+
+    `acc` carries per-ray {opacity, depth, rgb, transmittance, alive};
+    the block's samples arrive compacted per ray (offsets/cap). The
+    early-stop freeze matches composite_weights: contributions stop once
+    T_exclusive <= T_threshold and the carried T freezes at the value
+    entering the first dead sample."""
+    B = sigmas.shape[0]
+    T_in_ray = acc["transmittance"]
+    mask = valid & jnp.take(acc["alive"], ray_id)
+    seg_start = jnp.arange(B, dtype=jnp.int32) == jnp.take(offsets, ray_id)
+    sd = jnp.where(mask, sigmas * deltas, 0.0)
+    within_incl = segmented_cumsum(sd, seg_start)
+    t_excl = jnp.exp(-(within_incl - sd)) * jnp.take(T_in_ray, ray_id)
+    alpha = 1.0 - jnp.exp(-sd)
+    alive_s = t_excl > T_threshold
+    w = alpha * t_excl * alive_s
+
+    present = (cap > 0) & (offsets < B)
+    ends = jnp.minimum(jnp.where(present, offsets + cap - 1, 0), B - 1)
+
+    def seg_sum(v):
+        cs = segmented_cumsum(v, seg_start)
+        out = jnp.take(cs, ends, axis=0)
+        return jnp.where(
+            present if v.ndim == 1 else present[:, None], out, 0.0
+        )
+
+    opacity = acc["opacity"] + seg_sum(w)
+    depth = acc["depth"] + seg_sum(w * ts)
+    rgb = acc["rgb"] + seg_sum(w[:, None] * rgbs)
+
+    # carry-out transmittance per ray: frozen at the first dead sample's
+    # t_excl if the cutoff fired inside the segment, else T after the
+    # segment's last contributing sample
+    dead_val = jnp.where(mask & ~alive_s, t_excl, 0.0)
+    t_frozen = jnp.take(segmented_cummax(dead_val, seg_start), ends)
+    t_end = jnp.take(
+        segmented_cumsum(jnp.where(w > 0, sd, 0.0), seg_start), ends
+    )
+    t_cont = T_in_ray * jnp.exp(-jnp.where(present, t_end, 0.0))
+    t_after = jnp.where(t_frozen > 0.0, t_frozen, t_cont)
+    alive = acc["alive"] & (t_after > T_threshold)
+    return {
+        "opacity": opacity,
+        "depth": depth,
+        "rgb": rgb,
+        "transmittance": t_after,
+        "alive": alive,
+    }
+
+
 def composite_test_block(
     sigmas: jnp.ndarray,
     rgbs: jnp.ndarray,

@@ -501,6 +501,63 @@ def _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray):
     }, flat
 
 
+def march_rays_test_flat(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    cursor: jnp.ndarray,
+    t2: jnp.ndarray,
+    occ_grid: jnp.ndarray,
+    cfg: MarchConfig,
+    alive: jnp.ndarray,
+    k_block: int = 256,
+    cap_per_ray: int = 64,
+    budget_per_ray: int = 16,
+) -> dict:
+    """One test-time marching block into the FLAT (static-CSR) layout.
+
+    The dense test block (march_rays_test_block) spends a full (N, S)
+    field evaluation per iteration whether rays are alive or not. Here
+    the kept samples of ALIVE rays compact into a single (N *
+    budget_per_ray,) buffer — the static budget REDISTRIBUTES to the
+    surviving rays (a lone alive ray can consume up to `cap_per_ray`
+    samples per iteration), so total field evaluations track the samples
+    actually composited instead of N x S x iterations. Rays whose kept
+    samples exceed their grant simply resume at the next iteration: the
+    cursor advances past the LAST CONSUMED sample only (the reference's
+    hits_t cursor semantics, raymarching.cu:390).
+
+    Returns the flat march dict (ts/deltas/ray_id/valid/offsets/cap)
+    plus new_cursor (N,) and kept (N,) — the uncapped in-window count.
+    """
+    N = rays_o.shape[0]
+    K = k_block
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    t = sample_lattice(cursor[:, None], k, cfg)          # (N, K)
+    dt = calc_dt(t, cfg)
+    in_range = alive[:, None] & (cursor[:, None] >= 0) & (t < t2[:, None])
+    xyz = rays_o[:, None, :] + t[..., None] * rays_d[:, None, :]
+    keep = in_range & occupancy_lookup_runs(xyz, dt, occ_grid, cfg)
+    cfg_c = dataclasses.replace(cfg, samples_per_ray=cap_per_ray)
+    m, flat_sel = _compact_flat_from_keep(t, dt, keep, cfg_c, budget_per_ray)
+    B = N * budget_per_ray
+
+    kept = jnp.sum(keep.astype(jnp.int32), axis=1)       # (N,)
+    granted = m["cap"]
+    last_slot = jnp.clip(m["offsets"] + granted - 1, 0, B - 1)
+    k_last = jnp.take(flat_sel, last_slot) - jnp.arange(
+        N, dtype=jnp.int32
+    ) * K
+    # truncated rays (budget or per-ray cap) resume right after the last
+    # consumed sample; fully-consumed (or empty) windows advance past all
+    # K candidates
+    next_idx = jnp.where(
+        (granted > 0) & (granted < kept), k_last + 1, K
+    )
+    new_cursor = jnp.minimum(sample_lattice(cursor, next_idx, cfg), t2)
+    new_cursor = jnp.where(alive, new_cursor, cursor)
+    return {**m, "new_cursor": new_cursor, "kept": kept}
+
+
 def march_rays_test_block(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.compositing import (
     composite_test_block,
+    composite_test_flat,
     composite_train,
     composite_train_flat,
 )
@@ -26,6 +27,7 @@ from ..ops.intersection import scene_near_far
 from ..ops.marching import (
     MarchConfig,
     march_rays_test_block,
+    march_rays_test_flat,
     march_rays_train,
     march_rays_train_flat,
 )
@@ -46,6 +48,13 @@ class RenderConfig:
     random_bg: bool = False
     test_block_samples: int = 64       # samples per while-loop iteration
     test_k_block: int = 256            # lattice candidates examined per iter
+    # test-time layout: "flat" compacts alive rays' samples into a
+    # N*test_budget_per_ray buffer each iteration (the static budget
+    # redistributes to surviving rays — see march_rays_test_flat);
+    # "dense" is the (N, S) masked-lane path (render_test_compacted adds
+    # host-side ray compaction on top of it)
+    test_layout: str = "flat"
+    test_budget_per_ray: int = 16
     layout: str = "dense"              # "dense" (N, S) | "flat" static CSR
     budget_per_ray: int = 64           # flat layout: B = N * budget_per_ray
     # MoE: march/encode the union of the K experts' samples once instead of
@@ -220,6 +229,15 @@ def render_test(
         forward_fn = lambda x, d: ngp_forward(params, state, cfg, x, d)
     if occ is None:
         occ = state["occ"]
+    if (
+        rcfg.test_layout == "flat"
+        and carry_in is None
+        and n_iters is None
+        and not return_carry
+    ):
+        return _render_test_flat(
+            params, state, cfg, rays_o, rays_d, rcfg, forward_fn, occ
+        )
     N = rays_o.shape[0]
     center, half = scene_center_half(state)
     t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
@@ -286,6 +304,84 @@ def render_test(
         return out, {k: carry[k] for k in ("cursor", "acc",
                                            "total_samples")}, done
     return out
+
+
+def _render_test_flat(
+    params, state, cfg, rays_o, rays_d, rcfg, forward_fn, occ
+) -> dict:
+    """Flat test-time render: per while-loop iteration, alive rays' kept
+    samples compact into ONE (N * test_budget_per_ray,) buffer, so field
+    evaluations track composited samples instead of N x S x iterations —
+    the in-graph answer to the reference's alive-ray compaction
+    (rendering.py:142-174). Truncated rays resume via the march cursor
+    (march_rays_test_flat); the static budget redistributes to survivors
+    as rays retire."""
+    N = rays_o.shape[0]
+    center, half = scene_center_half(state)
+    t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
+    mcfg = rcfg.march(cfg)
+    S = rcfg.test_block_samples
+    budget = rcfg.test_budget_per_ray
+    # every iteration a truncated ray consumes >= its grant (>= budget
+    # when all N rays stay alive), and empty windows advance k_block
+    # lattice steps — both bound the trip count
+    max_iters = int(
+        math.ceil(rcfg.max_samples / min(budget, S))
+        + math.ceil(mcfg.k_candidates / rcfg.test_k_block)
+    )
+
+    init = {
+        "cursor": t1,
+        "acc": {
+            "opacity": jnp.zeros(N),
+            "depth": jnp.zeros(N),
+            "rgb": jnp.zeros((N, 3)),
+            "transmittance": jnp.ones(N),
+            "alive": (t1 >= 0),
+        },
+        "i": jnp.asarray(0),
+        "total_samples": jnp.asarray(0),
+    }
+
+    def cond(carry):
+        return (carry["i"] < max_iters) & jnp.any(
+            carry["acc"]["alive"] & (carry["cursor"] < t2)
+        )
+
+    def body(carry):
+        m = march_rays_test_flat(
+            rays_o, rays_d, carry["cursor"], t2, occ, mcfg,
+            carry["acc"]["alive"], k_block=rcfg.test_k_block,
+            cap_per_ray=S, budget_per_ray=budget,
+        )
+        rid = m["ray_id"]
+        o = jnp.take(rays_o, rid, axis=0)
+        d = jnp.take(rays_d, rid, axis=0)
+        xyz = o + m["ts"][:, None] * d
+        fwd_out = forward_fn(xyz, d)
+        sigmas, rgbs = fwd_out[0], fwd_out[1]
+        acc = composite_test_flat(
+            sigmas, rgbs, m["deltas"], m["ts"], rid, m["offsets"],
+            m["cap"], m["valid"], carry["acc"], rcfg.T_threshold,
+        )
+        return {
+            "cursor": m["new_cursor"],
+            "acc": acc,
+            "i": carry["i"] + 1,
+            "total_samples": carry["total_samples"]
+            + jnp.sum(jnp.where(carry["acc"]["alive"], m["cap"], 0)),
+        }
+
+    carry = jax.lax.while_loop(cond, body, init)
+    acc = carry["acc"]
+    rgb_bg = background_color(rcfg, None)
+    rgb = acc["rgb"] + rgb_bg * (1.0 - acc["opacity"])[:, None]
+    return {
+        "rgb": rgb,
+        "depth": acc["depth"],
+        "opacity": acc["opacity"],
+        "total_samples": carry["total_samples"],
+    }
 
 
 @functools.lru_cache(maxsize=None)

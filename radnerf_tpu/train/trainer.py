@@ -482,9 +482,14 @@ class NeRFSystem:
                 imgs_d = jnp_get_rays(
                     jnp.broadcast_to(self.mean_dir, (chunk, 3)), poses_c
                 )[1]
-                if not self.moe and getattr(h, "val_compaction", True):
-                    # host-side alive-ray compaction between while-loop
-                    # phases: retired rays stop paying field evals
+                if (
+                    not self.moe
+                    and self.rcfg.test_layout == "dense"
+                    and getattr(h, "val_compaction", True)
+                ):
+                    # dense layout: host-side alive-ray compaction between
+                    # while-loop phases (the flat test layout redistributes
+                    # its sample budget in-graph instead)
                     from ..render.render import render_test_compacted
 
                     out = render_test_compacted(

@@ -234,3 +234,36 @@ class TestCompactedTestRender:
             atol=1e-5,
         )
         assert int(out["total_samples"]) <= int(ref["total_samples"])
+
+
+class TestFlatTestRender:
+    def test_flat_matches_dense_layout(self):
+        """The flat test path (budget redistribution, cursor resume) must
+        match the dense masked-lane path — same lattice, same compositing
+        semantics, different sample bookkeeping."""
+        import dataclasses
+
+        cfg = NGPConfig(scale=0.5, grid_size=16)
+        state = init_ngp_state(cfg)
+        state = {**state, "occ": jnp.ones_like(state["occ"])}
+        rays_o, rays_d = make_rays(n=41, seed=9)
+        flat_cfg = RenderConfig(samples_per_ray=768, test_layout="flat",
+                                test_budget_per_ray=16)
+        dense_cfg = dataclasses.replace(flat_cfg, test_layout="dense")
+        fl = render_test(
+            None, state, cfg, rays_o, rays_d, flat_cfg,
+            forward_fn=const_forward,
+        )
+        de = render_test(
+            None, state, cfg, rays_o, rays_d, dense_cfg,
+            forward_fn=const_forward,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fl["rgb"]), np.asarray(de["rgb"]), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fl["opacity"]), np.asarray(de["opacity"]), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fl["depth"]), np.asarray(de["depth"]), atol=2e-3
+        )
