@@ -54,7 +54,9 @@ class RenderConfig:
     # "dense" is the (N, S) masked-lane path (render_test_compacted adds
     # host-side ray compaction on top of it)
     test_layout: str = "flat"
-    test_budget_per_ray: int = 16
+    # swept on v5e (docs/PERF_NOTES.md): 8 -> 9.7k, 16 -> 8.5k, 32 -> 5.8k
+    # rays/s on the 400x400 half-converged-grid load
+    test_budget_per_ray: int = 8
     layout: str = "dense"              # "dense" (N, S) | "flat" static CSR
     budget_per_ray: int = 64           # flat layout: B = N * budget_per_ray
     # MoE: march/encode the union of the K experts' samples once instead of
