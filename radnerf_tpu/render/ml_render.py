@@ -326,6 +326,116 @@ def ml_render_train(
     }
 
 
+def _ml_test_union_flat(
+    params, state, cfg: MNGPConfig, rays_o, rays_d, rcfg: RenderConfig
+) -> dict:
+    """Union-of-experts TEST rendering: per while-loop iteration, ONE flat
+    march against the union occupancy grid and ONE shared hash encode
+    serve all K experts (the test-time twin of
+    _expert_samples_union_flat). The march cursor is SHARED — an expert
+    only ever skips non-member samples (alpha 0), so all experts consume
+    the same candidate window; each keeps its own resumable
+    (T, rgb, depth, opacity, alive) carry. K x fewer marches and encodes
+    than the vmapped per-expert loop."""
+    import math as _math
+
+    from ..ops.compositing import composite_test_flat
+    from ..ops.marching import march_rays_test_flat, occupancy_lookup
+
+    K, N = cfg.n_experts, rays_o.shape[0]
+    center, half = scene_center_half(state)
+    t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
+    mcfg = rcfg.march(cfg)
+    occ_union = jnp.any(state["occ"], axis=0)
+    d_enc_ray = sh_encode_dir(rays_d, cfg.sh_degree).astype(cfg.cdtype)
+    S = rcfg.test_block_samples
+    budget = rcfg.test_budget_per_ray
+    max_iters = int(
+        _math.ceil(rcfg.max_samples / min(budget, S))
+        + _math.ceil(mcfg.k_candidates / rcfg.test_k_block)
+    )
+
+    def expert_acc():
+        return {
+            "opacity": jnp.zeros((K, N)),
+            "depth": jnp.zeros((K, N)),
+            "rgb": jnp.zeros((K, N, 3)),
+            "transmittance": jnp.ones((K, N)),
+            "alive": jnp.broadcast_to((t1 >= 0)[None], (K, N)),
+        }
+
+    init = {
+        "cursor": t1,
+        "acc": expert_acc(),
+        "i": jnp.asarray(0),
+        "total_samples": jnp.asarray(0),
+    }
+
+    def cond(carry):
+        union_alive = jnp.any(carry["acc"]["alive"], axis=0)
+        return (carry["i"] < max_iters) & jnp.any(
+            union_alive & (carry["cursor"] < t2)
+        )
+
+    def body(carry):
+        union_alive = jnp.any(carry["acc"]["alive"], axis=0)
+        m = march_rays_test_flat(
+            rays_o, rays_d, carry["cursor"], t2, occ_union, mcfg,
+            union_alive, k_block=rcfg.test_k_block, cap_per_ray=S,
+            budget_per_ray=budget,
+        )
+        rid = m["ray_id"]
+        o = jnp.take(rays_o, rid, axis=0)
+        d = jnp.take(rays_d, rid, axis=0)
+        xyz = o + m["ts"][:, None] * d
+        d_enc = jnp.take(d_enc_ray, rid, axis=0)
+
+        member = jax.vmap(
+            lambda occ_k: occupancy_lookup(xyz, m["deltas"], occ_k, mcfg)
+        )(state["occ"]) & m["valid"][None, :]
+
+        feat = _encode(params, state, cfg, xyz)          # ONCE for all K
+        h = jax.vmap(
+            lambda p: apply_mlp(p, feat, compute_dtype=cfg.cdtype)
+        )(params["geo"])
+        sigmas = jnp.where(member, trunc_exp(h[..., 0]), 0.0)
+        rgb_in = jnp.concatenate(
+            [jnp.broadcast_to(d_enc[None], (K,) + d_enc.shape),
+             h[..., 1:]],
+            axis=-1,
+        )
+        rgbs = jax.vmap(
+            lambda p, f: apply_mlp(
+                p, f, out_act=cfg.rgb_act.lower(), compute_dtype=cfg.cdtype
+            )
+        )(params["rgb"], rgb_in).astype(jnp.float32)
+
+        acc = jax.vmap(
+            lambda s_k, r_k, mem_k, acc_k: composite_test_flat(
+                s_k, r_k, m["deltas"], m["ts"], rid, m["offsets"],
+                m["cap"], mem_k, acc_k, rcfg.T_threshold,
+            )
+        )(sigmas, rgbs, member, carry["acc"])
+        return {
+            "cursor": m["new_cursor"],
+            "acc": acc,
+            "i": carry["i"] + 1,
+            "total_samples": carry["total_samples"]
+            + jnp.sum(jnp.where(union_alive, m["cap"], 0)),
+        }
+
+    carry = jax.lax.while_loop(cond, body, init)
+    acc = carry["acc"]
+    rgb_bg = background_color(rcfg, None)
+    rgb = acc["rgb"] + rgb_bg * (1.0 - acc["opacity"][..., None])
+    return {
+        "rgb": rgb,                                      # (K, N, 3)
+        "depth": acc["depth"],
+        "opacity": acc["opacity"],
+        "total_samples": carry["total_samples"],
+    }
+
+
 def ml_render_test(
     params: dict,
     state: dict,
@@ -350,7 +460,14 @@ def ml_render_test(
             None, sub_state, cfg, rays_o, rays_d, rcfg, forward_fn=fwd
         )
 
-    if cfg.shared_encoder:
+    if (
+        cfg.shared_encoder
+        and rcfg.union_sampling
+        and rcfg.test_layout == "flat"
+    ):
+        # ONE march + ONE shared encode per iteration for all K experts
+        res = _ml_test_union_flat(params, state, cfg, rays_o, rays_d, rcfg)
+    elif cfg.shared_encoder:
         # vmap over the stacked expert axis (lockstep while_loop): one
         # compiled expert graph instead of K unrolled copies
         res = jax.vmap(

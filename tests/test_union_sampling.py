@@ -176,3 +176,48 @@ def test_union_full_moe_render_smoke():
         assert res["ws"].shape[0] == cfg.n_experts
         assert bool(jnp.isfinite(res["rgb"]).all())
         assert bool(jnp.isfinite(res["opacity"]).all())
+
+
+def test_union_test_render_matches_per_expert():
+    """Test-time union rendering (one march + one shared encode for all K
+    experts, shared cursor) matches the vmapped per-expert test path on
+    slack budgets."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from radnerf_tpu.models.gates import init_ray_gate
+    from radnerf_tpu.models.mngp import MNGPConfig, init_mngp, init_mngp_state
+    from radnerf_tpu.render.ml_render import ml_render_test
+
+    cfg = MNGPConfig(scale=0.5, grid_size=16, n_levels=4, log2_T=10,
+                     n_experts=2)
+    params = init_mngp(jax.random.PRNGKey(0), cfg)
+    gate = init_ray_gate(jax.random.PRNGKey(1), cfg.n_experts)
+    state = init_mngp_state(cfg)
+    rng = np.random.default_rng(0)
+    # differing per-expert occupancy: exercises membership masking
+    occ = rng.random((cfg.n_experts, cfg.cascades, 16, 16, 16)) < 0.6
+    occ[1] &= rng.random((cfg.cascades, 16, 16, 16)) < 0.8
+    state = {**state, "occ": jnp.asarray(occ)}
+    n = 33
+    o = rng.normal(size=(n, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.2
+    d = -o / 1.2
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    rcfg_union = RenderConfig(samples_per_ray=64, test_layout="flat",
+                              test_budget_per_ray=32, union_sampling=True)
+    rcfg_solo = dataclasses.replace(rcfg_union, union_sampling=False)
+    out_u = ml_render_test(params, state, cfg, gate, o, d, d, rcfg_union)
+    out_s = ml_render_test(params, state, cfg, gate, o, d, d, rcfg_solo)
+    np.testing.assert_allclose(
+        np.asarray(out_u["rgb"]), np.asarray(out_s["rgb"]),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_u["opacity"]), np.asarray(out_s["opacity"]),
+        rtol=2e-2, atol=2e-2,
+    )
