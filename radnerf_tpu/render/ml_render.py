@@ -131,6 +131,7 @@ def _expert_samples_union_flat(
         "cap": rep(m["cap"]),
         "n_samples": rep(m["n_samples"]),
         "rm_samples": jnp.sum(member.astype(jnp.int32)),
+        "budget_util": m["total"].astype(jnp.float32) / m["ts"].shape[0],
         "total_samples": jnp.sum(out["vr_samples"]),
     }
 
@@ -322,6 +323,8 @@ def ml_render_train(
         "ts": res["ts"],
         "valid": res["valid"],
         "rm_samples": jnp.sum(res["rm_samples"]),
+        "budget_util": jnp.mean(res["budget_util"])
+        if "budget_util" in res else jnp.asarray(0.0),
         "total_samples": jnp.sum(res["total_samples"]),
     }
 

@@ -196,6 +196,7 @@ def _render_train_flat(
         ray_id=rid, offsets=m["offsets"], cap=m["cap"],
         n_samples=m["n_samples"],
         rm_samples=m["total"],
+        budget_util=m["total"].astype(jnp.float32) / m["ts"].shape[0],
         total_samples=jnp.sum(out["vr_samples"]),
     )
     if extras is not None:

@@ -51,6 +51,35 @@ from ..utils.logging import MetricWriter, init_global_logger
 
 MAX_SAMPLES = 1024
 UPDATE_INTERVAL = 16  # train_ml.py:61
+
+# --adaptive_budget: flat-layout sample-budget buckets. The reference's
+# effective sample stream shrinks as the density grid prunes empty space
+# (raymarching.cu marches only occupied cells); a static budget either
+# wastes encode work early or truncates late. The trainer re-picks the
+# bucket from measured buffer utilization at grid-update boundaries —
+# each bucket is one cached jit specialization.
+BUDGET_BUCKETS = (16, 24, 32, 48, 64, 96)
+
+
+def next_budget_bucket(
+    cur: int, util: float, buckets: tuple = BUDGET_BUCKETS
+) -> int:
+    """Pick budget_per_ray from measured utilization, with hysteresis:
+    grow when the buffer saturates (>95%: the march is truncating),
+    shrink when underused (<45%), targeting ~70% post-shrink."""
+    if util <= 0.0:
+        return cur
+    if util > 0.95:
+        bigger = [b for b in buckets if b > cur]
+        return bigger[0] if bigger else cur
+    if util < 0.45:
+        smaller = [b for b in buckets if b < cur]
+        want = cur * util / 0.7
+        for b in smaller:                 # smallest bucket covering ~70%
+            if b >= want:
+                return b
+        return smaller[-1] if smaller else cur
+    return cur
 DENSITY_THRESHOLD = 0.01 * MAX_SAMPLES / math.sqrt(3)  # train_ml.py:175
 
 
@@ -120,6 +149,7 @@ class NeRFSystem:
         self.key = jax.random.PRNGKey(getattr(hparams, "seed", 1337))
         self.global_step = 0
         self.ext_params = None  # set by configure_model iff --optimize_ext
+        self._last_budget_util = None  # --adaptive_budget measurement
 
         # render config (exp_step_factor rule: train_ml.py:101-102)
         self.rcfg = RenderConfig(
@@ -328,6 +358,9 @@ class NeRFSystem:
             aux = {
                 "psnr": psnr_fn(out["rgb"], target["rgb"]),
                 "rm_samples": out["rm_samples"].astype(jnp.float32),
+                "budget_util": jnp.asarray(
+                    out.get("budget_util", 0.0), jnp.float32
+                ),
             }
             return loss, aux
 
@@ -372,6 +405,25 @@ class NeRFSystem:
             return bundle["model"], bundle["gate"]
         return bundle["model"], None
 
+    def _maybe_adapt_budget(self, util: float):
+        """Re-bucket the flat-layout sample budget from measured buffer
+        utilization (--adaptive_budget); rebuilds the jitted steps (one
+        cached compile per bucket)."""
+        import dataclasses
+
+        if self.rcfg.layout != "flat":
+            return
+        new = next_budget_bucket(self.rcfg.budget_per_ray, util)
+        if new != self.rcfg.budget_per_ray:
+            self.logger.info(
+                f"adaptive budget: util={util:.2f} -> budget_per_ray "
+                f"{self.rcfg.budget_per_ray} -> {new}"
+            )
+            self.rcfg = dataclasses.replace(
+                self.rcfg, budget_per_ray=new
+            )
+            self.build_steps()
+
     # ------------------------------------------------------------------
     def sample_batch_indices(self, key):
         """Device-side (img, pix) sampling — base.py:23-30 semantics."""
@@ -413,6 +465,12 @@ class NeRFSystem:
                     self.logger.info("profiler trace done")
                 if step % UPDATE_INTERVAL == 0:
                     self.update_grid(warmup=step < h.warmup_steps)
+                    if (
+                        getattr(h, "adaptive_budget", False)
+                        and step >= h.warmup_steps
+                        and self._last_budget_util is not None
+                    ):
+                        self._maybe_adapt_budget(self._last_budget_util)
                 self.key, k_batch, k_step = jax.random.split(self.key, 3)
                 batch = self._shard(self.sample_batch_indices(k_batch))
                 (self.trainable, self.opt_state, loss, aux) = self.train_step(
@@ -425,6 +483,11 @@ class NeRFSystem:
                 if self.ext_params is not None:
                     self.ext_params = self.trainable["ext"]
                 rays_done += h.batch_size
+                if getattr(h, "adaptive_budget", False) and (
+                    step % UPDATE_INTERVAL == UPDATE_INTERVAL - 1
+                ):
+                    # one host sync right before the next grid update
+                    self._last_budget_util = float(aux["budget_util"])
                 if step % 100 == 0:
                     loss_v = float(loss)
                     psnr_v = float(aux["psnr"])

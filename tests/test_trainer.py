@@ -279,3 +279,41 @@ class TestMicrobatchAccumulation:
             np.testing.assert_allclose(
                 a, b, rtol=1e-4, atol=max(1e-4 * scale, 1e-8)
             )
+
+
+class TestAdaptiveBudget:
+    def test_bucket_policy(self):
+        from radnerf_tpu.train.trainer import next_budget_bucket
+
+        assert next_budget_bucket(48, 0.99) == 64     # saturated: grow
+        assert next_budget_bucket(96, 0.99) == 96     # top bucket: stay
+        assert next_budget_bucket(64, 0.70) == 64     # hysteresis band
+        assert next_budget_bucket(64, 0.30) == 32     # shrink toward ~70%
+        assert next_budget_bucket(64, 0.10) == 16
+        assert next_budget_bucket(16, 0.10) == 16     # bottom bucket: stay
+        assert next_budget_bucket(48, 0.0) == 48      # dense sentinel: noop
+
+    def test_trainer_rebuilds_steps(self, scene_root, tmp_path,
+                                    monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        import jax
+
+        from radnerf_tpu.train.trainer import NeRFSystem
+
+        system = _shrink(
+            NeRFSystem(HP(scene_root, adaptive_budget=True)), steps=2
+        )
+        system.update_grid(warmup=True)
+        old_step = system.train_step
+        system._maybe_adapt_budget(0.05)   # far under-utilized
+        assert system.rcfg.budget_per_ray < 64
+        assert system.train_step is not old_step
+        # the rebuilt step still runs
+        system.key, kb, ks = jax.random.split(system.key, 3)
+        batch = system._shard(system.sample_batch_indices(kb))
+        (system.trainable, system.opt_state, loss, aux) = system.train_step(
+            system.trainable, system.opt_state, system.model_state, batch,
+            system.data, ks,
+        )
+        assert np.isfinite(float(loss))
+        assert 0.0 <= float(aux["budget_util"]) <= 1.0
