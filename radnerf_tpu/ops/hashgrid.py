@@ -299,6 +299,18 @@ def resolve_impl(impl: str) -> str:
     return "slab" if jax.default_backend() != "cpu" else "xla"
 
 
+def hash_family(impl: str) -> str:
+    """Table-layout/spatial-hash family of an encode impl.
+
+    'slab' addresses the table with the z-scrambled additive slab hash
+    (ops/hashgrid_slab.py); every other impl uses the tcnn-style
+    xor-multiply hash. Tables trained under one family decode as garbage
+    under the other, so checkpoints record the resolved family
+    (trainer.save_checkpoint) and loads reconcile against it."""
+    r = resolve_impl(impl)
+    return "slab" if r in ("slab", "slab_plain") else "tcnn"
+
+
 def incoherent_impl(impl: str) -> str:
     """Best impl for spatially-INCOHERENT point sets (density-grid updates
     sample random cells, networks.py:142-169): the run-length dedup would

@@ -543,19 +543,33 @@ def march_rays_test_flat(
 
     kept = jnp.sum(keep.astype(jnp.int32), axis=1)       # (N,)
     granted = m["cap"]
-    last_slot = jnp.clip(m["offsets"] + granted - 1, 0, B - 1)
+    offsets = m["offsets"]
+    # under saturation the min-1-cap bump can push sum(cap) past B, so a
+    # ray's granted slots may spill past the buffer end and never reach the
+    # compositor. Advance the cursor by what was actually CONSUMED — the
+    # granted slots that landed inside [0, total_c) — never by `granted`.
+    consumed = jnp.clip(
+        jnp.minimum(offsets + granted, m["total"])
+        - jnp.minimum(offsets, m["total"]),
+        0,
+    )
+    last_slot = jnp.clip(offsets + consumed - 1, 0, B - 1)
     k_last = jnp.take(flat_sel, last_slot) - jnp.arange(
         N, dtype=jnp.int32
     ) * K
-    # truncated rays (budget or per-ray cap) resume right after the last
-    # consumed sample; fully-consumed (or empty) windows advance past all
-    # K candidates
-    next_idx = jnp.where(
-        (granted > 0) & (granted < kept), k_last + 1, K
-    )
+    # truncated rays (budget, per-ray cap, or buffer spill) resume right
+    # after the last consumed sample; fully-consumed (or empty) windows
+    # advance past all K candidates
+    next_idx = jnp.where(consumed >= kept, K, k_last + 1)
     new_cursor = jnp.minimum(sample_lattice(cursor, next_idx, cfg), t2)
+    # rays whose every granted slot spilled past the buffer consumed
+    # nothing: leave the cursor untouched so the window retries next
+    # iteration (progress is still guaranteed — the first alive ray with
+    # kept > 0 has offsets == 0 and always consumes)
+    new_cursor = jnp.where((consumed == 0) & (kept > 0), cursor, new_cursor)
     new_cursor = jnp.where(alive, new_cursor, cursor)
-    return {**m, "new_cursor": new_cursor, "kept": kept}
+    return {**m, "new_cursor": new_cursor, "kept": kept,
+            "consumed": jnp.where(alive, consumed, 0)}
 
 
 def march_rays_test_block(

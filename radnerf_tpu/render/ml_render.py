@@ -353,9 +353,12 @@ def _ml_test_union_flat(
     d_enc_ray = sh_encode_dir(rays_d, cfg.sh_degree).astype(cfg.cdtype)
     S = rcfg.test_block_samples
     budget = rcfg.test_budget_per_ray
-    max_iters = int(
-        _math.ceil(rcfg.max_samples / min(budget, S))
-        + _math.ceil(mcfg.k_candidates / rcfg.test_k_block)
+    # per-ray samples_done retirement bounds real progress; max_iters is
+    # a safety valve (see _render_test_flat for the progress argument)
+    max_iters = min(
+        N * (rcfg.max_samples
+             + int(_math.ceil(mcfg.k_candidates / rcfg.test_k_block))),
+        2**31 - 2,
     )
 
     def expert_acc():
@@ -370,6 +373,7 @@ def _ml_test_union_flat(
     init = {
         "cursor": t1,
         "acc": expert_acc(),
+        "samples_done": jnp.zeros((N,), jnp.int32),
         "i": jnp.asarray(0),
         "total_samples": jnp.asarray(0),
     }
@@ -419,12 +423,17 @@ def _ml_test_union_flat(
                 m["cap"], mem_k, acc_k, rcfg.T_threshold,
             )
         )(sigmas, rgbs, member, carry["acc"])
+        samples_done = carry["samples_done"] + m["consumed"]
+        acc["alive"] = acc["alive"] & (
+            samples_done < rcfg.max_samples
+        )[None, :]
         return {
             "cursor": m["new_cursor"],
             "acc": acc,
+            "samples_done": samples_done,
             "i": carry["i"] + 1,
             "total_samples": carry["total_samples"]
-            + jnp.sum(jnp.where(union_alive, m["cap"], 0)),
+            + jnp.sum(m["consumed"]),
         }
 
     carry = jax.lax.while_loop(cond, body, init)

@@ -325,12 +325,15 @@ def _render_test_flat(
     mcfg = rcfg.march(cfg)
     S = rcfg.test_block_samples
     budget = rcfg.test_budget_per_ray
-    # every iteration a truncated ray consumes >= its grant (>= budget
-    # when all N rays stay alive), and empty windows advance k_block
-    # lattice steps — both bound the trip count
-    max_iters = int(
-        math.ceil(rcfg.max_samples / min(budget, S))
-        + math.ceil(mcfg.k_candidates / rcfg.test_k_block)
+    # rays retire on per-ray consumed-sample progress (samples_done, the
+    # reference's per-ray MAX_SAMPLES bound); `max_iters` is only a safety
+    # valve sized from the MINIMUM possible per-iteration progress — the
+    # first alive unfinished ray always consumes >= 1 sample or skips
+    # k_block lattice candidates, so rays finish sequentially at worst
+    max_iters = min(
+        N * (rcfg.max_samples
+             + int(math.ceil(mcfg.k_candidates / rcfg.test_k_block))),
+        2**31 - 2,
     )
 
     init = {
@@ -342,6 +345,7 @@ def _render_test_flat(
             "transmittance": jnp.ones(N),
             "alive": (t1 >= 0),
         },
+        "samples_done": jnp.zeros((N,), jnp.int32),
         "i": jnp.asarray(0),
         "total_samples": jnp.asarray(0),
     }
@@ -367,12 +371,15 @@ def _render_test_flat(
             sigmas, rgbs, m["deltas"], m["ts"], rid, m["offsets"],
             m["cap"], m["valid"], carry["acc"], rcfg.T_threshold,
         )
+        samples_done = carry["samples_done"] + m["consumed"]
+        acc["alive"] = acc["alive"] & (samples_done < rcfg.max_samples)
         return {
             "cursor": m["new_cursor"],
             "acc": acc,
+            "samples_done": samples_done,
             "i": carry["i"] + 1,
             "total_samples": carry["total_samples"]
-            + jnp.sum(jnp.where(carry["acc"]["alive"], m["cap"], 0)),
+            + jnp.sum(m["consumed"]),
         }
 
     carry = jax.lax.while_loop(cond, body, init)
@@ -452,8 +459,12 @@ def render_test_compacted(
     # index N selects a ray that misses the scene box: pad lanes are dead
     # from birth (no field evals, no sample counts). Rays stay ON DEVICE —
     # only the small done-mask and per-phase outputs cross the host (the
-    # axon tunnel makes bulk host round-trips ~2 s / 25 MB).
-    miss_o = jnp.asarray([[4.0, 0.0, 0.0]], jnp.float32)
+    # axon tunnel makes bulk host round-trips ~2 s / 25 MB). The miss ray
+    # starts past the box's +x face pointing +x so it misses at ANY scene
+    # scale (a fixed origin would sit inside boxes with half-extent >= 4).
+    center, half = scene_center_half(state)
+    miss_x = float(center[0] + 2.0 * float(jnp.max(half)) + 1.0)
+    miss_o = jnp.asarray([[miss_x, 0.0, 0.0]], jnp.float32)
     miss_d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
     ro_ext = jnp.concatenate([jnp.asarray(rays_o), miss_o], axis=0)
     rd_ext = jnp.concatenate([jnp.asarray(rays_d), miss_d], axis=0)

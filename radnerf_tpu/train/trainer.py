@@ -242,6 +242,10 @@ class NeRFSystem:
             self.params = jax.tree_util.tree_map(
                 jnp.asarray, load_weights_into(self.params, wp)
             )
+            from ..utils.ckpt import load_ckpt as _load
+
+            # configure_model runs before build_steps: no rebuild needed
+            self._reconcile_hash_impl(_load(wp), rebuild=False)
             self.logger.info(f"warm-started weights from {wp}")
 
     def configure_optimizers(self):
@@ -407,8 +411,10 @@ class NeRFSystem:
 
     def _maybe_adapt_budget(self, util: float):
         """Re-bucket the flat-layout sample budget from measured buffer
-        utilization (--adaptive_budget); rebuilds the jitted steps (one
-        cached compile per bucket)."""
+        utilization (--adaptive_budget). The built step functions are
+        cached per bucket (not rebuilt): oscillating utilization swaps
+        between existing jit wrappers, so each bucket compiles exactly
+        once for the run (ADVICE r3 low)."""
         import dataclasses
 
         if self.rcfg.layout != "flat":
@@ -419,10 +425,24 @@ class NeRFSystem:
                 f"adaptive budget: util={util:.2f} -> budget_per_ray "
                 f"{self.rcfg.budget_per_ray} -> {new}"
             )
-            self.rcfg = dataclasses.replace(
-                self.rcfg, budget_per_ray=new
+            cache = getattr(self, "_budget_step_cache", None)
+            if cache is None:
+                cache = self._budget_step_cache = {}
+            keys = (
+                "rcfg", "_loss_fn", "train_step", "_grid_update",
+                "render_chunk",
             )
-            self.build_steps()
+            cache[self.rcfg.budget_per_ray] = {
+                k: getattr(self, k) for k in keys
+            }
+            if new in cache:
+                for k, v in cache[new].items():
+                    setattr(self, k, v)
+            else:
+                self.rcfg = dataclasses.replace(
+                    self.rcfg, budget_per_ray=new
+                )
+                self.build_steps()
 
     # ------------------------------------------------------------------
     def sample_batch_indices(self, key):
@@ -657,17 +677,56 @@ class NeRFSystem:
         if "model_state" in ckpt:
             self.model_state = as_jnp(ckpt["model_state"])
         self.global_step = int(ckpt.get("step", 0))
+        self._reconcile_hash_impl(ckpt, rebuild=True)
         self.logger.info(
             f"resumed from {ckpt_path} at step {self.global_step}"
         )
 
+    def _reconcile_hash_impl(self, ckpt: dict, rebuild: bool):
+        """Route encode_dispatch to the hash family that TRAINED the
+        restored table (checkpoints record the resolved impl; a family
+        mismatch would silently decode garbage — ADVICE r3 medium)."""
+        import dataclasses as _dc
+
+        from ..ops.hashgrid import hash_family
+
+        rec = (ckpt.get("hparams") or {}).get("resolved_hash_impl")
+        if not rec or hash_family(rec) == hash_family(self.cfg.hash_impl):
+            return
+        if (
+            hash_family(rec) == "slab"
+            and jnp.dtype(self.cfg.cdtype) != jnp.bfloat16
+        ):
+            # encode_dispatch silently falls back to the tcnn family for
+            # non-bf16 dtypes — that would decode the slab table as garbage
+            raise ValueError(
+                f"checkpoint was trained with the slab hash family ({rec}),"
+                " which only supports --compute_dtype bfloat16; refusing to"
+                f" decode it with compute_dtype={self.cfg.compute_dtype}"
+            )
+        self.logger.info(
+            f"checkpoint hash family '{hash_family(rec)}' ({rec}) != "
+            f"session family '{hash_family(self.cfg.hash_impl)}' — "
+            f"switching hash_impl to '{rec}' to match the trained table"
+        )
+        self.cfg = _dc.replace(self.cfg, hash_impl=rec)
+        if rebuild:
+            self.build_steps()
+
     def save_checkpoint(self, epoch: int):
+        from ..ops.hashgrid import resolve_impl
+
+        # record the RESOLVED encode impl: --hash_impl auto picks a
+        # backend-dependent hash family, and a table trained under one
+        # family decodes as garbage under the other (ADVICE r3)
+        hp = dict(vars(self.h))
+        hp["resolved_hash_impl"] = resolve_impl(self.cfg.hash_impl)
         payload = {
             "params": self.params,
             "opt_state": self.opt_state,
             "model_state": self.model_state,
             "step": self.global_step,
-            "hparams": vars(self.h),
+            "hparams": hp,
         }
         if self.moe:
             payload["gate_params"] = self.gate_params

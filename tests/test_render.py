@@ -267,3 +267,71 @@ class TestFlatTestRender:
         np.testing.assert_allclose(
             np.asarray(fl["depth"]), np.asarray(de["depth"]), atol=2e-3
         )
+
+    def test_flat_matches_dense_under_buffer_saturation(self):
+        """Skewed per-ray keep counts force sum(cap) > B (the min-1-cap
+        bump under saturation): rays whose granted slots spill past the
+        buffer end must NOT advance their cursor past unconsumed samples
+        (and must not re-composite consumed ones). Regression for the
+        flat-cursor mis-advance (ADVICE r3 high)."""
+        import dataclasses
+
+        from radnerf_tpu.ops.intersection import scene_near_far
+        from radnerf_tpu.ops.marching import march_rays_test_flat
+
+        cfg = NGPConfig(scale=0.5, grid_size=16)
+        state = init_ngp_state(cfg)
+        # heavy half-space (x<0): fully occupied columns (~14 kept samples
+        # per window at dt = sqrt(3)/24); light half-space (x>=0): only the
+        # first z-cell occupied (exactly 1 kept sample per ray)
+        occ = np.zeros((cfg.cascades, 16, 16, 16), bool)
+        occ[:, :8, :, :] = True
+        occ[:, 8:, :, 0] = True
+        state = {**state, "occ": jnp.asarray(occ)}
+
+        rng = np.random.default_rng(3)
+        xs = np.concatenate([
+            np.linspace(-0.45, -0.05, 8),        # 8 heavy rays
+            np.linspace(0.05, 0.45, 56),         # 56 light rays
+        ]).astype(np.float32)
+        xs = xs[rng.permutation(64)]
+        o = np.stack([xs, np.zeros(64, np.float32),
+                      np.full(64, -1.0, np.float32)], axis=1)
+        d = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (64, 1))
+        rays_o, rays_d = jnp.asarray(o), jnp.asarray(d)
+
+        flat_cfg = RenderConfig(
+            max_samples=24, test_layout="flat", test_budget_per_ray=1,
+        )
+        dense_cfg = dataclasses.replace(flat_cfg, test_layout="dense")
+        mcfg = flat_cfg.march(cfg)
+
+        # guard: the first window really does overflow the flat buffer
+        t1, t2 = scene_near_far(rays_o, rays_d, jnp.zeros(3),
+                                jnp.full(3, 0.5))
+        m0 = march_rays_test_flat(
+            rays_o, rays_d, t1, t2, state["occ"], mcfg, t1 >= 0,
+            k_block=flat_cfg.test_k_block,
+            cap_per_ray=flat_cfg.test_block_samples, budget_per_ray=1,
+        )
+        B = 64 * 1
+        assert int(jnp.sum(m0["cap"])) > B, "fixture no longer saturates"
+        assert int(jnp.sum(m0["consumed"])) <= B
+
+        fl = render_test(
+            None, state, cfg, rays_o, rays_d, flat_cfg,
+            forward_fn=const_forward,
+        )
+        de = render_test(
+            None, state, cfg, rays_o, rays_d, dense_cfg,
+            forward_fn=const_forward,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fl["opacity"]), np.asarray(de["opacity"]), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fl["rgb"]), np.asarray(de["rgb"]), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fl["depth"]), np.asarray(de["depth"]), atol=2e-3
+        )
