@@ -308,7 +308,11 @@ def hash_family(impl: str) -> str:
     under the other, so checkpoints record the resolved family
     (trainer.save_checkpoint) and loads reconcile against it."""
     r = resolve_impl(impl)
-    return "slab" if r in ("slab", "slab_plain") else "tcnn"
+    if r in ("slab", "slab_plain"):
+        return "slab"
+    if r == "brick":
+        return "brick"
+    return "tcnn"
 
 
 def incoherent_impl(impl: str) -> str:
@@ -342,6 +346,12 @@ def encode_dispatch(
     Measured comparison: examples/bench_scatter.py."""
     if impl == "auto":
         impl = resolve_impl(impl)
+    if impl == "brick":
+        if jnp.dtype(compute_dtype) == jnp.bfloat16:
+            from .hashgrid_brick import hashgrid_encode_brick
+
+            return hashgrid_encode_brick(table, x, cfg, compute_dtype)
+        impl = "dedup"
     if impl in ("slab", "slab_plain"):
         if jnp.dtype(compute_dtype) == jnp.bfloat16:
             from .hashgrid_slab import hashgrid_encode_slab

@@ -129,11 +129,12 @@ def get_parser() -> argparse.ArgumentParser:
                      help='MLP/hash-gather compute dtype (params stay fp32)')
     tpu.add_argument('--hash_impl', type=str, default='auto',
                      choices=['auto', 'xla', 'pallas', 'sort', 'window',
-                              'dedup', 'slab', 'slab_plain'],
+                              'dedup', 'slab', 'slab_plain', 'brick'],
                      help='hash-grid encode backend (ops/hashgrid.py '
-                          'encode_dispatch); slab uses the TPU slab table '
-                          'layout with an additive hash — checkpoints are '
-                          'tied to the impl family that trained them')
+                          'encode_dispatch); slab/brick use TPU-native '
+                          'table layouts with their own hashes — '
+                          'checkpoints are tied to the impl family that '
+                          'trained them')
     tpu.add_argument('--val_chunk', type=int, default=65536,
                      help='rays per test-time render chunk')
     tpu.add_argument('--adaptive_budget', action='store_true', default=False,

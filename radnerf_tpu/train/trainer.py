@@ -694,15 +694,16 @@ class NeRFSystem:
         if not rec or hash_family(rec) == hash_family(self.cfg.hash_impl):
             return
         if (
-            hash_family(rec) == "slab"
+            hash_family(rec) in ("slab", "brick")
             and jnp.dtype(self.cfg.cdtype) != jnp.bfloat16
         ):
             # encode_dispatch silently falls back to the tcnn family for
-            # non-bf16 dtypes — that would decode the slab table as garbage
+            # non-bf16 dtypes — that would decode the table as garbage
             raise ValueError(
-                f"checkpoint was trained with the slab hash family ({rec}),"
-                " which only supports --compute_dtype bfloat16; refusing to"
-                f" decode it with compute_dtype={self.cfg.compute_dtype}"
+                f"checkpoint was trained with the {hash_family(rec)} hash"
+                f" family ({rec}), which only supports --compute_dtype"
+                " bfloat16; refusing to decode it with"
+                f" compute_dtype={self.cfg.compute_dtype}"
             )
         self.logger.info(
             f"checkpoint hash family '{hash_family(rec)}' ({rec}) != "
