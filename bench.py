@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--microbatch", type=int, default=2,
                     help="gradient-accumulation slices per step (0 = off;"
                          " 2 recovers full throughput at batch 8192)")
+    ap.add_argument("--adaptive_budget", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="probe flat-buffer utilization on this occupancy "
+                         "grid and adopt the budget bucket the trainer's "
+                         "--adaptive_budget would settle at (default on, "
+                         "matching the trainer default)")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +88,7 @@ def main():
         budget_per_ray=args.budget_per_ray,
     )
     key = jax.random.PRNGKey(0)
+    budget = args.budget_per_ray
     params = init_mngp(key, cfg)
     gate_params = init_ray_gate(jax.random.PRNGKey(1), cfg.n_experts)
     state = init_mngp_state(cfg)
@@ -101,6 +108,55 @@ def main():
     optimizer = optax.adam(1e-2, eps=1e-15)
     bundle = {"model": params, "gate": gate_params}
     opt_state = optimizer.init(bundle)
+
+    def make_batch(seed, n_rays):
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        o = jax.random.normal(k1, (n_rays, 3))
+        o = o / jnp.linalg.norm(o, axis=1, keepdims=True) * 1.2
+        tgt = jax.random.uniform(k2, (n_rays, 3), minval=-0.25,
+                                 maxval=0.25)
+        d = tgt - o
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        return {
+            "rays_o": o,
+            "rays_d": d,
+            "rgb": jax.random.uniform(k3, (n_rays, 3)),
+        }
+
+    if args.adaptive_budget and args.layout == "flat":
+        # adopt the budget bucket the trainer's --adaptive_budget (default
+        # on) settles at for this occupancy grid: probe utilization once,
+        # then walk the hysteresis fixpoint analytically (util scales
+        # ~inversely with the bucket size)
+        import dataclasses
+
+        from radnerf_tpu.train.trainer import next_budget_bucket
+
+        pb = make_batch(999, min(args.batch, 2048))
+
+        @jax.jit
+        def probe(b):
+            out = ml_render_train(
+                params, state, cfg, gate_params,
+                b["rays_o"], b["rays_d"], b["rays_d"],
+                jax.random.PRNGKey(0), rcfg,
+            )
+            return out["budget_util"]
+
+        util = float(probe(pb))
+        b, u = budget, util
+        while True:
+            nb = next_budget_bucket(b, u)
+            if nb == b:
+                break
+            u *= b / nb
+            b = nb
+        if b != budget:
+            print(f"# adaptive budget: util={util:.2f} -> "
+                  f"budget_per_ray {budget} -> {b}", file=sys.stderr)
+            budget = b
+            rcfg = dataclasses.replace(rcfg, budget_per_ray=b)
 
     def loss_fn(bundle, batch, key):
         out = ml_render_train(
@@ -134,21 +190,6 @@ def main():
             updates, opt_state = optimizer.update(grads, opt_state)
             bundle = optax.apply_updates(bundle, updates)
             return bundle, opt_state, loss
-
-    def make_batch(seed, n_rays):
-        k = jax.random.PRNGKey(seed)
-        k1, k2, k3 = jax.random.split(k, 3)
-        o = jax.random.normal(k1, (n_rays, 3))
-        o = o / jnp.linalg.norm(o, axis=1, keepdims=True) * 1.2
-        tgt = jax.random.uniform(k2, (n_rays, 3), minval=-0.25,
-                                 maxval=0.25)
-        d = tgt - o
-        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
-        return {
-            "rays_o": o,
-            "rays_d": d,
-            "rgb": jax.random.uniform(k3, (n_rays, 3)),
-        }
 
     def run(n_rays):
         batch = make_batch(0, n_rays)

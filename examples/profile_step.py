@@ -208,11 +208,12 @@ def main():
           flush=True)
 
     # --- encode alone on the B stream --------------------------------
-    B = N * args.budget_per_ray
-    xs_ray = jnp.repeat(o[: B // 48], 48, axis=0)[:B]  # ray-coherent-ish
-    ts = jnp.tile(jnp.linspace(0.7, 1.3, 48), B // 48)[:B]
+    bp = args.budget_per_ray
+    B = N * bp
+    xs_ray = jnp.repeat(o[: B // bp], bp, axis=0)[:B]  # ray-coherent-ish
+    ts = jnp.tile(jnp.linspace(0.7, 1.3, bp), B // bp)[:B]
     xpts = jnp.clip(
-        (xs_ray + ts[:, None] * jnp.repeat(d[: B // 48], 48, axis=0)[:B])
+        (xs_ray + ts[:, None] * jnp.repeat(d[: B // bp], bp, axis=0)[:B])
         * 0.5 + 0.5, 0.0, 1.0,
     )
     from radnerf_tpu.ops.hashgrid import encode_dispatch

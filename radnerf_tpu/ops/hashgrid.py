@@ -293,10 +293,11 @@ def resolve_impl(impl: str) -> str:
     import jax
 
     # TPU backends register as 'tpu' or (via the axon relay) 'axon'.
-    # 'slab' = run-length-dedup forward over the slab table layout + the
-    # x-pair windowed backward — measured fastest (examples/profile_step.py:
-    # fw+bw 43 ms vs dedup's 61 ms on the 98k-sample bench stream).
-    return "slab" if jax.default_backend() != "cpu" else "xla"
+    # 'brick' = patch-row table layout: 2 row gathers per (level, point)
+    # + one-hot-MXU windowed backward — measured fastest (fw+bw 34 ms vs
+    # slab's 43 ms on the 98k-sample bench stream; bench.py 29.8k vs
+    # 17.9k rays/s) at equal fixture PSNR (docs/CONVERGENCE.md round 4).
+    return "brick" if jax.default_backend() != "cpu" else "xla"
 
 
 def hash_family(impl: str) -> str:

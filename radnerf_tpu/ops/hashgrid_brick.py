@@ -261,70 +261,89 @@ def hashgrid_encode_brick_ref(
 
 # ---------------------------------------------------------------- backward
 
-def _brick_scatter_kernel(sk_ref, *refs):
-    """Accumulate one (level, tile) block of sorted brick updates.
+def _make_brick_kernel(exact: bool):
+    """Kernel factory: `exact` keeps f32 matmul operands (test path); the
+    fast path uses bf16 operands on the MXU with f32 accumulation (the
+    values are f16-quantized sort payloads already — bf16 costs ~2 more
+    mantissa bits per entry on a zero-mean accumulation)."""
+    mdtype = jnp.float32 if exact else jnp.bfloat16
 
-    sk_ref: (1, 1, TILE_SUB, LANES) int32 — sorted flat keys
-            row * 128 + lane0 (sorted ascending => sorted by row).
-    refs[:8]: value planes v{c}{f} for corner c in (+0,+1,+11,+12) and
-            feature f — (1, 1, TILE_SUB, LANES) f32 each.
-    refs[8] (out): (1, 2*rows_pad, LANES) f32 — the level's gradient as
-            two stacked 128-lane slabs: feature-0 rows [0, rows_pad),
-            feature-1 rows [rows_pad, 2*rows_pad). (Mosaic only supports
-            multi-sublane dynamic slices at exactly 128 lanes.)
+    def _brick_scatter_kernel(sk_ref, *refs):
+        """Accumulate one (level, tile) block of sorted brick updates.
 
-    Per sub-row of 128 sorted entries: build the two (128, 128) value
-    matrices V_f[u, lane0_u + off_c] = v_cf_u with dense compares, then
-    for each WSPAN-row window the sub-row spans, scatter through a
-    one-hot MXU matmul onehot^T @ V_f -> (WSPAN, 128) and one dynamic
-    WSPAN-sublane add per feature. No per-entry serial work; windows per
-    sub-row ~= 1 for training streams (~50 entries/row)."""
-    v_refs, out_ref = refs[:8], refs[8]
+        sk_ref: (1, 1, TILE_SUB, LANES) int32 — sorted flat keys
+                row * 128 + lane0 (sorted ascending => sorted by row).
+        refs[:8]: value planes v{c}{f} for corner c in (+0,+1,+11,+12)
+                and feature f — (1, 1, TILE_SUB, LANES) f32 each.
+        refs[8] (out): (1, 2*rows_pad, LANES) f32 — the level's gradient
+                as two stacked 128-lane slabs: feature-0 rows
+                [0, rows_pad), feature-1 rows [rows_pad, 2*rows_pad).
+                (Mosaic only supports multi-sublane dynamic slices at
+                exactly 128 lanes.)
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        Everything stays TRANSPOSED — entries live on the LANE axis
+        exactly as they arrive from the refs (no lane->sublane
+        relayouts): Vt_f[target_lane, entry] is built by broadcasting
+        sublane iotas against the natural (1, 128) lane vectors, and
+        each window scatter is one dot_general contracting the entry
+        (lane) axis of onehT (WSPAN, entry) with Vt (lane, entry) ->
+        (WSPAN, 128), plus one dynamic WSPAN-sublane add per feature.
+        No per-entry serial work; windows per sub-row ~= 1 for training
+        streams (~50 entries/row)."""
+        v_refs, out_ref = refs[:8], refs[8]
 
-    rows_pad = out_ref.shape[1] // 2
-    jlane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
-    for s in range(TILE_SUB):
-        sk_s = sk_ref[0, 0, s, :][:, None]          # (128, 1)
-        row = sk_s >> 7
-        lane0 = sk_s & 127
-        d = jlane - lane0                           # (128, 128)
-        V0 = jnp.zeros((LANES, LANES), jnp.float32)
-        V1 = jnp.zeros((LANES, LANES), jnp.float32)
-        for ci, off in enumerate(_OFFS):
-            v0 = v_refs[2 * ci][0, 0, s, :][:, None]
-            v1 = v_refs[2 * ci + 1][0, 0, s, :][:, None]
-            hit = d == off
-            V0 = V0 + jnp.where(hit, v0, 0.0)
-            V1 = V1 + jnp.where(hit, v1, 0.0)
-        r_lo = sk_ref[0, 0, s, 0] >> 7
-        r_hi = sk_ref[0, 0, s, LANES - 1] >> 7
-        base0 = (r_lo >> 3) << 3                    # sublane-aligned
-        n_win = (r_hi - base0) // WSPAN + 1
+        rows_pad = out_ref.shape[1] // 2
+        jl_sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        w_sub = jax.lax.broadcasted_iota(jnp.int32, (WSPAN, LANES), 0)
 
-        def body(w, _, row=row, V0=V0, V1=V1, base0=base0):
-            base = base0 + w * WSPAN
-            oneh = (
-                (row - base)
-                == jax.lax.broadcasted_iota(jnp.int32, (LANES, WSPAN), 1)
-            ).astype(jnp.float32)                   # (128, WSPAN)
-            # the slab carries WSPAN spare rows per feature, so the last
-            # window's add (base <= R - 1) always stays in bounds
-            for Vf, off in ((V0, 0), (V1, rows_pad)):
-                contrib = jax.lax.dot_general(
-                    oneh, Vf, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                   # (WSPAN, 128)
-                out_ref[0, pl.ds(off + base, WSPAN), :] = (
-                    out_ref[0, pl.ds(off + base, WSPAN), :] + contrib
-                )
-            return 0
+        for s in range(TILE_SUB):
+            sk_s = sk_ref[0, 0, s, :].reshape(1, LANES)
+            row = sk_s >> 7                         # (1, 128) lane vector
+            lane0 = sk_s & 127
+            d = jl_sub - lane0                      # (128, 128) broadcast
+            # select in f32 (Mosaic rejects sub-word selects), cast at the
+            # transpose
+            Vt0 = jnp.zeros((LANES, LANES), jnp.float32)
+            Vt1 = jnp.zeros((LANES, LANES), jnp.float32)
+            for ci, off in enumerate(_OFFS):
+                v0 = v_refs[2 * ci][0, 0, s, :].reshape(1, LANES)
+                v1 = v_refs[2 * ci + 1][0, 0, s, :].reshape(1, LANES)
+                hit = d == off
+                Vt0 = Vt0 + jnp.where(hit, v0, 0.0)
+                Vt1 = Vt1 + jnp.where(hit, v1, 0.0)
+            # one hardware transpose per feature replaces the 9 per-array
+            # lane->sublane relayouts of the naive formulation
+            V0 = jnp.transpose(Vt0.astype(mdtype))  # (entry, target lane)
+            V1 = jnp.transpose(Vt1.astype(mdtype))
+            r_lo = sk_ref[0, 0, s, 0] >> 7
+            r_hi = sk_ref[0, 0, s, LANES - 1] >> 7
+            base0 = (r_lo >> 3) << 3                # sublane-aligned
+            n_win = (r_hi - base0) // WSPAN + 1
 
-        jax.lax.fori_loop(0, n_win, body, 0)
+            def body(w, _, row=row, V0=V0, V1=V1, base0=base0):
+                base = base0 + w * WSPAN
+                onehT = jnp.where(
+                    (row - base) == w_sub, 1.0, 0.0
+                ).astype(mdtype)
+                # the slab carries WSPAN spare rows per feature, so the
+                # last window's add (base <= R - 1) stays in bounds
+                for Vf, off in ((V0, 0), (V1, rows_pad)):
+                    contrib = jax.lax.dot_general(
+                        onehT, Vf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                               # (WSPAN, 128)
+                    out_ref[0, pl.ds(off + base, WSPAN), :] = (
+                        out_ref[0, pl.ds(off + base, WSPAN), :] + contrib
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, n_win, body, 0)
+
+    return _brick_scatter_kernel
 
 
 def sorted_table_grad_brick(
@@ -332,11 +351,13 @@ def sorted_table_grad_brick(
     vals: tuple,
     table_size: int,
     interpret: bool = False,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """(L, T, 2) f32 gradient from a row-sorted brick update stream.
 
     sk: (L, n) int32 sorted flat keys (row*128 + lane0); vals: 8 arrays
-    (L, n) f32 — corner (+0,+1,+11,+12) x feature (0,1) products."""
+    (L, n) f32 — corner (+0,+1,+11,+12) x feature (0,1) products.
+    exact=True keeps f32 matmul operands (tests)."""
     L, n = sk.shape
     T = table_size
     R = T // LANES
@@ -353,7 +374,7 @@ def sorted_table_grad_brick(
     shape4 = (L, n_tiles, TILE_SUB, LANES)
 
     slab = pl.pallas_call(
-        _brick_scatter_kernel,
+        _make_brick_kernel(exact),
         out_shape=jax.ShapeDtypeStruct((L, 2 * rows_pad, LANES),
                                        jnp.float32),
         grid=(L, n_tiles),
@@ -425,7 +446,7 @@ def hashgrid_table_grad_brick(
             (key, *v), dimension=-1, num_keys=1, is_stable=False
         )
         return sorted_table_grad_brick(
-            sk, tuple(sv), cfg.table_size, interpret=interpret
+            sk, tuple(sv), cfg.table_size, interpret=interpret, exact=True
         )
     amax = jnp.max(
         functools.reduce(jnp.maximum, [jnp.abs(p) for p in v]),

@@ -137,12 +137,14 @@ def get_parser() -> argparse.ArgumentParser:
                           'trained them')
     tpu.add_argument('--val_chunk', type=int, default=65536,
                      help='rays per test-time render chunk')
-    tpu.add_argument('--adaptive_budget', action='store_true', default=False,
+    tpu.add_argument('--adaptive_budget', action=argparse.BooleanOptionalAction,
+                     default=True,
                      help='re-pick the flat-layout sample budget bucket '
                           'from measured buffer utilization at grid-update '
                           'boundaries (the effective stream shrinks as the '
                           'density grid prunes; one cached compile per '
-                          'bucket)')
+                          'bucket). Default on; --no-adaptive_budget pins '
+                          'the static --budget_per_ray')
     tpu.add_argument('--microbatch', type=int, default=0,
                      help='split each local ray batch into this many '
                           'sequential gradient-accumulation slices '
