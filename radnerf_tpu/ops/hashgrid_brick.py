@@ -262,34 +262,42 @@ def hashgrid_encode_brick_ref(
 # ---------------------------------------------------------------- backward
 
 def _make_brick_kernel(exact: bool):
-    """Kernel factory: `exact` keeps f32 matmul operands (test path); the
-    fast path uses bf16 operands on the MXU with f32 accumulation (the
-    values are f16-quantized sort payloads already — bf16 costs ~2 more
-    mantissa bits per entry on a zero-mean accumulation)."""
-    mdtype = jnp.float32 if exact else jnp.bfloat16
+    """Kernel factory for ONE feature plane: `exact` keeps f32 matmul
+    operands (test path); the fast path uses bf16 operands on the MXU
+    with f32 accumulation (the values are f16-quantized sort payloads
+    already — bf16 costs ~2 more mantissa bits per entry on a zero-mean
+    accumulation)."""
+    import os
 
-    def _brick_scatter_kernel(sk_ref, *refs):
+    dbg = os.environ.get("RADNERF_BRICK_DEBUG", "")
+    mdtype = jnp.float32 if (exact or dbg == "f32") else jnp.bfloat16
+
+    def _brick_scatter_kernel(sk_ref, skc_ref, *refs):
         """Accumulate one (level, tile) block of sorted brick updates.
 
-        sk_ref: (1, 1, TILE_SUB, LANES) int32 — sorted flat keys
-                row * 128 + lane0 (sorted ascending => sorted by row).
+        sk_ref:  (1, 1, TILE_SUB, LANES) int32 — sorted flat keys
+                 row * 128 + lane0 (sorted ascending => sorted by row).
+        skc_ref: (1, 1, LANES, TILE_SUB) int32 — the same keys in COLUMN
+                 layout (transposed by XLA outside the kernel).
         refs[:8]: value planes v{c}{f} for corner c in (+0,+1,+11,+12)
-                and feature f — (1, 1, TILE_SUB, LANES) f32 each.
+                and feature f — (1, 1, LANES, TILE_SUB) f32, column
+                layout.
         refs[8] (out): (1, 2*rows_pad, LANES) f32 — the level's gradient
                 as two stacked 128-lane slabs: feature-0 rows
                 [0, rows_pad), feature-1 rows [rows_pad, 2*rows_pad).
                 (Mosaic only supports multi-sublane dynamic slices at
                 exactly 128 lanes.)
 
-        Everything stays TRANSPOSED — entries live on the LANE axis
-        exactly as they arrive from the refs (no lane->sublane
-        relayouts): Vt_f[target_lane, entry] is built by broadcasting
-        sublane iotas against the natural (1, 128) lane vectors, and
-        each window scatter is one dot_general contracting the entry
-        (lane) axis of onehT (WSPAN, entry) with Vt (lane, entry) ->
-        (WSPAN, 128), plus one dynamic WSPAN-sublane add per feature.
-        No per-entry serial work; windows per sub-row ~= 1 for training
-        streams (~50 entries/row)."""
+        The value matrices V_f[entry, lane0_entry + off_c] = v_cf are
+        built from the COLUMN-layout refs (entry axis already on
+        sublanes — no in-kernel relayouts or transposes, both measured
+        hazards: per-array [:, None] relayouts cost ~2x, and in-kernel
+        jnp.transpose mis-executes in some fusion contexts, crashing the
+        TPU worker). Each window scatter is one canonical bf16 MXU
+        matmul onehT (WSPAN, entry) @ V (entry, 128) -> (WSPAN, 128)
+        plus one dynamic WSPAN-sublane add per feature. No per-entry
+        serial work; windows per sub-row ~= 1 for training streams
+        (~50 entries/row)."""
         v_refs, out_ref = refs[:8], refs[8]
 
         @pl.when(pl.program_id(1) == 0)
@@ -297,38 +305,35 @@ def _make_brick_kernel(exact: bool):
             out_ref[...] = jnp.zeros_like(out_ref)
 
         rows_pad = out_ref.shape[1] // 2
-        jl_sub = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        jl_lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
         w_sub = jax.lax.broadcasted_iota(jnp.int32, (WSPAN, LANES), 0)
 
         for s in range(TILE_SUB):
-            sk_s = sk_ref[0, 0, s, :].reshape(1, LANES)
-            row = sk_s >> 7                         # (1, 128) lane vector
-            lane0 = sk_s & 127
-            d = jl_sub - lane0                      # (128, 128) broadcast
-            # select in f32 (Mosaic rejects sub-word selects), cast at the
-            # transpose
-            Vt0 = jnp.zeros((LANES, LANES), jnp.float32)
-            Vt1 = jnp.zeros((LANES, LANES), jnp.float32)
+            row_l = sk_ref[0, 0, s, :].reshape(1, LANES) >> 7  # lane vec
+            lane0 = (skc_ref[0, 0, :, s] & 127).reshape(LANES, 1)
+            d = jl_lane - lane0                     # (128, 128) broadcast
+            # select in f32 (Mosaic rejects sub-word selects); cast at
+            # the matmul
+            V0 = jnp.zeros((LANES, LANES), jnp.float32)
+            V1 = jnp.zeros((LANES, LANES), jnp.float32)
             for ci, off in enumerate(_OFFS):
-                v0 = v_refs[2 * ci][0, 0, s, :].reshape(1, LANES)
-                v1 = v_refs[2 * ci + 1][0, 0, s, :].reshape(1, LANES)
+                v0 = v_refs[2 * ci][0, 0, :, s].reshape(LANES, 1)
+                v1 = v_refs[2 * ci + 1][0, 0, :, s].reshape(LANES, 1)
                 hit = d == off
-                Vt0 = Vt0 + jnp.where(hit, v0, 0.0)
-                Vt1 = Vt1 + jnp.where(hit, v1, 0.0)
-            # one hardware transpose per feature replaces the 9 per-array
-            # lane->sublane relayouts of the naive formulation
-            V0 = jnp.transpose(Vt0.astype(mdtype))  # (entry, target lane)
-            V1 = jnp.transpose(Vt1.astype(mdtype))
+                V0 = V0 + jnp.where(hit, v0, 0.0)
+                V1 = V1 + jnp.where(hit, v1, 0.0)
+            V0 = V0.astype(mdtype)
+            V1 = V1.astype(mdtype)
             r_lo = sk_ref[0, 0, s, 0] >> 7
             r_hi = sk_ref[0, 0, s, LANES - 1] >> 7
             base0 = (r_lo >> 3) << 3                # sublane-aligned
             n_win = (r_hi - base0) // WSPAN + 1
 
-            def body(w, _, row=row, V0=V0, V1=V1, base0=base0):
+            def body(w, _, row_l=row_l, V0=V0, V1=V1, base0=base0):
                 base = base0 + w * WSPAN
                 onehT = jnp.where(
-                    (row - base) == w_sub, 1.0, 0.0
-                ).astype(mdtype)
+                    (row_l - base) == w_sub, 1.0, 0.0
+                ).astype(mdtype)                    # (WSPAN, entry)
                 # the slab carries WSPAN spare rows per feature, so the
                 # last window's add (base <= R - 1) stays in bounds
                 for Vf, off in ((V0, 0), (V1, rows_pad)):
@@ -343,6 +348,7 @@ def _make_brick_kernel(exact: bool):
 
             jax.lax.fori_loop(0, n_win, body, 0)
 
+    del dbg
     return _brick_scatter_kernel
 
 
@@ -358,10 +364,22 @@ def sorted_table_grad_brick(
     sk: (L, n) int32 sorted flat keys (row*128 + lane0); vals: 8 arrays
     (L, n) f32 — corner (+0,+1,+11,+12) x feature (0,1) products.
     exact=True keeps f32 matmul operands (tests)."""
+    import os
+
     L, n = sk.shape
     T = table_size
     R = T // LANES
-    pad = (-n) % TILE
+    if os.environ.get("RADNERF_BRICK_DEBUG", "") == "nokernel":
+        # debug: consume the sorted stream without the pallas kernel
+        s = sum(jnp.sum(v, axis=1) for v in vals) + jnp.sum(
+            sk.astype(jnp.float32), axis=1
+        )
+        return jnp.zeros((L, T, 2), jnp.float32) + s[:, None, None] * 0.0
+    # always pad at least one full tile of zero-valued updates aimed at
+    # each level's last real key: in-graph streams whose length ties other
+    # live buffer shapes (observed at n == T) hit a TPU worker fault —
+    # the extra tile (<=0.2% work) breaks the coincidence
+    pad = ((-n) % TILE) + TILE
     if pad:
         sk = jnp.concatenate(
             [sk, jnp.broadcast_to(sk[:, -1:], (L, pad))], axis=1
@@ -373,6 +391,13 @@ def sorted_table_grad_brick(
     rows_pad = R + WSPAN
     shape4 = (L, n_tiles, TILE_SUB, LANES)
 
+    def cols(a):
+        """Column layout: the per-tile entry axis moves to sublanes (the
+        kernel builds its value matrices without any in-kernel relayout
+        or transpose — both measured hazards, see the kernel docstring)."""
+        return a.reshape(shape4).swapaxes(2, 3)
+
+    sk4 = sk.reshape(shape4)
     slab = pl.pallas_call(
         _make_brick_kernel(exact),
         out_shape=jax.ShapeDtypeStruct((L, 2 * rows_pad, LANES),
@@ -380,6 +405,9 @@ def sorted_table_grad_brick(
         grid=(L, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, TILE_SUB, LANES), lambda l, p: (l, p, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((1, 1, LANES, TILE_SUB), lambda l, p: (l, p, 0, 0),
                          memory_space=pltpu.VMEM)
         ] * 9,
         out_specs=pl.BlockSpec(
@@ -390,7 +418,10 @@ def sorted_table_grad_brick(
             vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sk.reshape(shape4), *(v.reshape(shape4) for v in vals))
+    )(sk4, cols(sk), *(cols(v) for v in vals))
+    if os.environ.get("RADNERF_BRICK_DEBUG", "") == "zeroout":
+        # debug: execute the kernel but feed zeros downstream
+        slab = slab - jax.lax.optimization_barrier(slab)
     # feature-f slab row r, lane m == table entry (r*128 + m, f)
     slab = slab.reshape(L, 2, rows_pad, LANES)[:, :, :R, :]
     return jnp.moveaxis(slab, 1, -1).reshape(L, T, 2)

@@ -161,3 +161,34 @@ class TestDistortion:
                 np.abs(ti[:, None] - ti[None, :]) * wi[:, None] * wi[None, :]
             ).sum() + (wi**2 * deltas[r, :m]).sum() / 3.0
             assert abs(got[r] - naive) < 1e-4
+
+
+class TestBlockedSegmentedCumsum:
+    def test_matches_scan_reference(self):
+        """The blocked two-level segmented cumsum must agree with the
+        associative-scan reference across block boundaries, long
+        segments spanning many blocks, and multi-channel values."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from radnerf_tpu.ops.compositing import (
+            segmented_cumsum,
+            segmented_cumsum_scan,
+        )
+
+        rng = np.random.default_rng(0)
+        for B, p_start in ((5000, 0.02), (4096, 0.3), (700, 0.0)):
+            v = rng.standard_normal(B).astype(np.float32)
+            starts = rng.random(B) < p_start
+            starts[0] = True
+            got = segmented_cumsum(jnp.asarray(v), jnp.asarray(starts))
+            ref = segmented_cumsum_scan(jnp.asarray(v), jnp.asarray(starts))
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4
+            )
+            v3 = rng.standard_normal((B, 3)).astype(np.float32)
+            got3 = segmented_cumsum(jnp.asarray(v3), jnp.asarray(starts))
+            ref3 = segmented_cumsum_scan(jnp.asarray(v3), jnp.asarray(starts))
+            np.testing.assert_allclose(
+                np.asarray(got3), np.asarray(ref3), rtol=1e-5, atol=1e-4
+            )
