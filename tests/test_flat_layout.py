@@ -3,6 +3,7 @@ end-to-end render must match the dense (N, S) layout when the budget is
 not binding, and degrade gracefully (front-truncation) when it is."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -45,6 +46,7 @@ class TestFlatRender:
         rays_o, rays_d = make_rays(n=32, seed=4)
         return cfg, state, rays_o, rays_d
 
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_matches_dense_when_budget_ample(self):
         cfg, state, rays_o, rays_d = self._setup()
         key = jax.random.PRNGKey(0)
@@ -96,6 +98,7 @@ class TestFlatRender:
         # outputs still sane
         assert np.isfinite(np.asarray(flat["rgb"])).all()
 
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_grads_flow(self):
         cfg, state, rays_o, rays_d = self._setup()
 

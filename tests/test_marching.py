@@ -5,6 +5,7 @@ lattice marcher. With a single cascade the sample sets must match exactly."""
 import math
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from radnerf_tpu.ops.marching import (
@@ -162,6 +163,7 @@ class TestMarchTrain:
 
 
 class TestMarchTest:
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_blocks_cover_train_lattice(self):
         """Repeated test-time blocks must enumerate the same occupied
         samples as one train-time march."""

@@ -2,6 +2,7 @@
 semantics (EMA-max decay, warmup), MNGP expert stacking, gates."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -76,6 +77,7 @@ class TestNGP:
         assert float(jnp.abs(g["hash_table"]).sum()) > 0
         assert float(jnp.abs(g["geo"]["w"][0]).sum()) > 0
 
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_update_density_grid_warmup_and_ema(self):
         cfg = tiny_cfg()
         params = init_ngp(jax.random.PRNGKey(0), cfg)
@@ -137,6 +139,7 @@ class TestMNGP:
         sig, _ = mngp_forward_all(params, state, cfg, x, d)
         assert float(jnp.abs(sig[0] - sig[1]).max()) > 1e-6
 
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_grid_update_all_experts(self):
         cfg = tiny_mcfg()
         params = init_mngp(jax.random.PRNGKey(0), cfg)
@@ -148,6 +151,7 @@ class TestMNGP:
         assert s1["density_grid"].shape[0] == cfg.n_experts
         assert bool((s1["density_grid"] > 0).all())
 
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_unshared_variant(self):
         cfg = tiny_mcfg(shared_encoder=False, n_experts=2)
         params = init_mngp(jax.random.PRNGKey(0), cfg)

@@ -8,6 +8,7 @@ bit-parity with the CUDA reference (not runnable here) with math-parity
 (SURVEY.md §4 consequence 2)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -96,6 +97,7 @@ class TestGoldenConstantScene:
             np.asarray(te["rgb"]), np.asarray(tr["rgb"]), atol=1e-2
         )
 
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_depth_is_gated_expectation(self):
         cfg = NGPConfig(scale=0.5, grid_size=16)
         state = init_ngp_state(cfg)
@@ -115,6 +117,7 @@ class TestGoldenConstantScene:
 
 
 class TestMoERender:
+    @pytest.mark.slow  # compile-heavy: slow tier (VERDICT r3 #7)
     def test_ml_render_shapes_and_composition(self):
         cfg = MNGPConfig(
             scale=0.5, grid_size=16, n_levels=4, log2_T=8, n_experts=2
