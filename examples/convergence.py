@@ -262,24 +262,35 @@ def run_hard(args):
                            forward_fn=hard_field)
         return out["rgb"]
 
+    from radnerf_tpu.parallel.step import microbatched_value_and_grad
+
     @jax.jit
     def train_step(bundle, opt_state, state, key):
         k1, k2, k3 = jax.random.split(key, 3)
         rays_o, rays_d = sample_rays(k1, args.batch)
         target = jax.lax.stop_gradient(render_gt(k2, rays_o, rays_d))
+        batch = {"rays_o": rays_o, "rays_d": rays_d, "rgb": target}
 
-        def loss_fn(b):
+        def loss3(b, mb, k):
             out = ml_render_train(
-                b["model"], state, cfg, b["gate"], rays_o, rays_d, rays_d,
-                k3, rcfg,
+                b["model"], state, cfg, b["gate"], mb["rays_o"],
+                mb["rays_d"], mb["rays_d"], k, rcfg,
             )
             ld = nerf_loss(
-                out, {"rgb": target}, lambda_opacity=1e-3,
+                out, {"rgb": mb["rgb"]}, lambda_opacity=1e-3,
                 lambda_cv_importance=1e-2, lambda_depth_mutual=5e-3,
             )
-            return total_loss(ld)
+            return total_loss(ld), {}
 
-        loss, grads = jax.value_and_grad(loss_fn)(bundle)
+        # the reference batch 8192 in ONE optimizer step via 2-way
+        # gradient accumulation (the v5e-1 single-pass 8192 memory-
+        # pressure cliff — docs/PERF_NOTES.md; expected gradient is
+        # identical up to summation order and per-microbatch cv-loss
+        # estimates)
+        vg = (microbatched_value_and_grad(loss3, args.hard_microbatch)
+              if args.hard_microbatch > 1
+              else jax.value_and_grad(loss3, has_aux=True))
+        (loss, _), grads = vg(bundle, batch, k3)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(bundle, updates), opt_state, loss
 
@@ -350,6 +361,7 @@ def run_scene(args):
         batch_size=args.batch,
         num_epochs=1,
         seed=args.seed,
+        adaptive_budget=args.adaptive_budget,
     )
     hp.hash_impl = args.impl
     system = NeRFSystem(hp)
@@ -361,9 +373,14 @@ def run_scene(args):
 
     rows = []
     t0 = time.time()
+    t_eval = 0.0   # validation time excluded from the rays/s timeline
     for step in range(args.steps):
         if step % 16 == 0 and step > 0:
             system.update_grid(warmup=step < 256)
+            # the trainer fit() loop's adaptive-budget hook, verbatim
+            if (getattr(hp, "adaptive_budget", False)
+                    and system._last_budget_util is not None):
+                system._maybe_adapt_budget(system._last_budget_util)
         system.key, kb, ks = jax.random.split(system.key, 3)
         batch = system._shard(system.sample_batch_indices(kb))
         (system.trainable, system.opt_state, loss, aux) = system.train_step(
@@ -371,12 +388,20 @@ def run_scene(args):
             batch, system.data, ks,
         )
         system.params = system.trainable["model"]
+        if getattr(hp, "adaptive_budget", False) and step % 16 == 15:
+            system._last_budget_util = float(aux["budget_util"])
         if step % args.eval_every == 0 or step == args.steps - 1:
+            te0 = time.time()
             val = system.validate(epoch=0)
+            t_eval += time.time() - te0
+            train_t = time.time() - t0 - t_eval
             row = {
                 "step": step, "val_psnr": round(val["psnr"], 3),
                 "train_psnr": round(float(aux["psnr"]), 3),
                 "loss": round(float(loss), 6),
+                "budget": system.rcfg.budget_per_ray,
+                "rays_s": round(args.batch * (step + 1)
+                                / max(train_t, 1e-9)),
                 "t": round(time.time() - t0, 1),
             }
             rows.append(row)
@@ -384,8 +409,10 @@ def run_scene(args):
     summary = {
         "exp": "scene", "impl": args.impl, "dtype": args.dtype,
         "steps": args.steps, "batch": args.batch,
+        "adaptive_budget": bool(getattr(hp, "adaptive_budget", False)),
         "final_val_psnr": rows[-1]["val_psnr"],
         "best_val_psnr": max(r["val_psnr"] for r in rows),
+        "final_budget": system.rcfg.budget_per_ray,
         "wall_s": rows[-1]["t"],
         "backend": jax.default_backend(),
     }
@@ -407,6 +434,12 @@ def main():
     ap.add_argument("--log2_T", type=int, default=15)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scene_root", type=str, default=None)
+    ap.add_argument("--hard_microbatch", type=int, default=2,
+                    help="hard exp: gradient-accumulation slices per step")
+    ap.add_argument("--adaptive_budget", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="scene exp: trainer's --adaptive_budget path "
+                         "(default on, matching opt.py)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 

@@ -232,14 +232,10 @@ def render_test(
         forward_fn = lambda x, d: ngp_forward(params, state, cfg, x, d)
     if occ is None:
         occ = state["occ"]
-    if (
-        rcfg.test_layout == "flat"
-        and carry_in is None
-        and n_iters is None
-        and not return_carry
-    ):
+    if rcfg.test_layout == "flat":
         return _render_test_flat(
-            params, state, cfg, rays_o, rays_d, rcfg, forward_fn, occ
+            params, state, cfg, rays_o, rays_d, rcfg, forward_fn, occ,
+            carry_in=carry_in, n_iters=n_iters, return_carry=return_carry,
         )
     N = rays_o.shape[0]
     center, half = scene_center_half(state)
@@ -310,7 +306,8 @@ def render_test(
 
 
 def _render_test_flat(
-    params, state, cfg, rays_o, rays_d, rcfg, forward_fn, occ
+    params, state, cfg, rays_o, rays_d, rcfg, forward_fn, occ,
+    carry_in=None, n_iters=None, return_carry=False,
 ) -> dict:
     """Flat test-time render: per while-loop iteration, alive rays' kept
     samples compact into ONE (N * test_budget_per_ray,) buffer, so field
@@ -318,7 +315,9 @@ def _render_test_flat(
     the in-graph answer to the reference's alive-ray compaction
     (rendering.py:142-174). Truncated rays resume via the march cursor
     (march_rays_test_flat); the static budget redistributes to survivors
-    as rays retire."""
+    as rays retire. `carry_in`/`n_iters`/`return_carry` expose phase-wise
+    resumption so render_test_compacted can shrink N itself between
+    phases (flat buffer AND candidate work then track the alive count)."""
     N = rays_o.shape[0]
     center, half = scene_center_half(state)
     t1, t2 = scene_near_far(rays_o, rays_d, center, half, NEAR_DISTANCE)
@@ -335,20 +334,25 @@ def _render_test_flat(
              + int(math.ceil(mcfg.k_candidates / rcfg.test_k_block))),
         2**31 - 2,
     )
+    if n_iters is not None:
+        max_iters = min(max_iters, n_iters)
 
-    init = {
-        "cursor": t1,
-        "acc": {
-            "opacity": jnp.zeros(N),
-            "depth": jnp.zeros(N),
-            "rgb": jnp.zeros((N, 3)),
-            "transmittance": jnp.ones(N),
-            "alive": (t1 >= 0),
-        },
-        "samples_done": jnp.zeros((N,), jnp.int32),
-        "i": jnp.asarray(0),
-        "total_samples": jnp.asarray(0),
-    }
+    if carry_in is None:
+        init = {
+            "cursor": t1,
+            "acc": {
+                "opacity": jnp.zeros(N),
+                "depth": jnp.zeros(N),
+                "rgb": jnp.zeros((N, 3)),
+                "transmittance": jnp.ones(N),
+                "alive": (t1 >= 0),
+            },
+            "samples_done": jnp.zeros((N,), jnp.int32),
+            "i": jnp.asarray(0),
+            "total_samples": jnp.asarray(0),
+        }
+    else:
+        init = {**carry_in, "i": jnp.asarray(0)}
 
     def cond(carry):
         return (carry["i"] < max_iters) & jnp.any(
@@ -386,12 +390,17 @@ def _render_test_flat(
     acc = carry["acc"]
     rgb_bg = background_color(rcfg, None)
     rgb = acc["rgb"] + rgb_bg * (1.0 - acc["opacity"])[:, None]
-    return {
+    out = {
         "rgb": rgb,
         "depth": acc["depth"],
         "opacity": acc["opacity"],
         "total_samples": carry["total_samples"],
     }
+    if return_carry:
+        done = ~(acc["alive"] & (carry["cursor"] < t2))
+        return out, {k: carry[k] for k in ("cursor", "acc", "samples_done",
+                                           "total_samples")}, done
+    return out
 
 
 @functools.lru_cache(maxsize=None)
@@ -446,8 +455,17 @@ def render_test_compacted(
 
     N = rays_o.shape[0]
     S = rcfg.test_block_samples
-    total_phases = int(math.ceil(math.ceil(rcfg.max_samples / S)
-                                 / phase_iters))
+    if rcfg.test_layout == "flat":
+        # the flat inner loop guarantees only `test_budget_per_ray`
+        # samples of progress per alive ray per iteration (less under
+        # buffer contention; the while cond retires rays as they finish,
+        # so phases after the typical few are no-ops) — safety cap only
+        total_phases = int(math.ceil(
+            (rcfg.max_samples / max(rcfg.test_budget_per_ray, 1) + 8)
+            / phase_iters)) * 8
+    else:
+        total_phases = int(math.ceil(math.ceil(rcfg.max_samples / S)
+                                     / phase_iters))
     out_np = {
         "rgb": np.zeros((N, 3), np.float32),
         "depth": np.zeros((N,), np.float32),
@@ -508,11 +526,11 @@ def render_test_compacted(
         gather = lambda x: jnp.take(x, ksel, axis=0)
         acc = jax.tree_util.tree_map(gather, carry2["acc"])
         acc["alive"] = acc["alive"] & lane_real
-        carry = {
-            "cursor": gather(carry2["cursor"]),
-            "acc": acc,
-            "total_samples": jnp.asarray(0),   # per-phase counting
-        }
+        carry = {"acc": acc,
+                 "total_samples": jnp.asarray(0)}   # per-phase counting
+        for k in carry2:
+            if k not in carry:                 # cursor, samples_done, ...
+                carry[k] = gather(carry2[k])
     return {
         **{k: jnp.asarray(v) for k, v in out_np.items()},
         "total_samples": jnp.asarray(total_samples),

@@ -5,4 +5,8 @@
 # here — run it as `python -m pytest tests/ -q` before a release.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-exec python -m pytest tests/ -q -m "not slow" --durations=10 "$@"
+# Strip any accelerator plugin BEFORE interpreter start: plugins register
+# at import time (a conftest cannot undo it), and a single-client device
+# tunnel held by the test run would wedge concurrent training/bench jobs.
+exec env PYTHONPATH= JAX_PLATFORMS=cpu \
+    python -m pytest tests/ -q -m "not slow" --durations=10 "$@"
