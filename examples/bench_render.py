@@ -28,13 +28,21 @@ def main():
     ap.add_argument("--side", type=int, default=800)
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--phase_iters", type=int, default=4)
+    ap.add_argument("--k_block", type=int, default=256)
+    ap.add_argument("--budget", type=int, default=8)
+    ap.add_argument("--layout", type=str, default="flat",
+                    choices=["flat", "dense"])
+    ap.add_argument("--plain", action="store_true",
+                    help="also bench the non-compacted while-loop path")
     args = ap.parse_args()
 
     enable_compilation_cache()
     print(f"# devices: {jax.devices()}", flush=True)
     cfg = NGPConfig(scale=0.5, grid_size=128, log2_T=19,
                     compute_dtype="bfloat16")
-    rcfg = RenderConfig()
+    rcfg = RenderConfig(test_layout=args.layout,
+                        test_k_block=args.k_block,
+                        test_budget_per_ray=args.budget)
     params = init_ngp(jax.random.PRNGKey(0), cfg)
     state = init_ngp_state(cfg)
     g = cfg.grid_size
@@ -70,14 +78,16 @@ def main():
         lambda p, s, ro, rd: render_test(p, s, cfg, ro, rd, rcfg)
     )
 
-    for name, run in (
-        ("render_test (flat, default)",
-         lambda ro, rd: jit_plain(params, state, ro, rd)),
-        ("dense + host compaction",
+    paths = [
+        (f"{args.layout} + host compaction",
          lambda ro, rd: render_test_compacted(
              params, state, cfg, ro, rd, rcfg,
              phase_iters=args.phase_iters)),
-    ):
+    ]
+    if args.plain:
+        paths.insert(0, (f"render_test ({args.layout}, plain)",
+                         lambda ro, rd: jit_plain(params, state, ro, rd)))
+    for name, run in paths:
         # warmup on one chunk
         out = run(rays_o_all[: args.chunk], rays_d_all[: args.chunk])
         _ = float(jnp.sum(out["opacity"]))

@@ -135,8 +135,11 @@ def get_parser() -> argparse.ArgumentParser:
                           'table layouts with their own hashes — '
                           'checkpoints are tied to the impl family that '
                           'trained them')
-    tpu.add_argument('--val_chunk', type=int, default=65536,
-                     help='rays per test-time render chunk')
+    tpu.add_argument('--val_chunk', type=int, default=8192,
+                     help='rays per test-time render chunk (v5e sweep: '
+                          '8192 -> 35.8k rays/s, 16384 -> 34.1k, 65536 '
+                          '-> 28.9k — smaller chunks retire whole '
+                          'while-loops sooner; docs/PERF_NOTES.md)')
     tpu.add_argument('--adaptive_budget', action=argparse.BooleanOptionalAction,
                      default=True,
                      help='re-pick the flat-layout sample budget bucket '
