@@ -211,23 +211,40 @@ def occupancy_lookup_runs(
     rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
     nruns = rank[:, -1] + 1
 
+    sortfree = occ_flat.shape[0] <= (1 << 24)  # f32-exact index range
+
     def dedup(_):
-        key = jnp.where(
-            new, jax.lax.broadcasted_iota(jnp.int32, new.shape, 1), block
-        )
-        _, urows = jax.lax.sort(
-            (key, fb), dimension=-1, num_keys=1, is_stable=False
-        )
-        urows = urows[:, :U]                             # (R, U)
-        occ_u = jnp.take(occ_flat, urows, axis=0).astype(jnp.bfloat16)
-        onehot = (
+        hot = (
             rank[:, :, None]
             == jax.lax.broadcasted_iota(
                 jnp.int32, rank.shape + (U,), 2
             )
-        ).astype(jnp.bfloat16)
+        )
+        if sortfree:
+            # run representatives -> compacted rows WITHOUT a sort: per
+            # (block, run) exactly one `new` entry selects its flat cell
+            # index; the f32 one-hot matmul is exact for indices < 2^24
+            # (mip*G^3 + cell <= C*G^3 <= 2^24 at G<=128, C<=8) and
+            # replaces the lax.sort run-compaction (~40% of the
+            # candidate-occupancy cost at bench shapes)
+            sel = jnp.where(hot & new[:, :, None], 1.0, 0.0)
+            urows = jnp.einsum(
+                "rwu,rw->ru", sel, fb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+        else:
+            key = jnp.where(
+                new,
+                jax.lax.broadcasted_iota(jnp.int32, new.shape, 1),
+                block,
+            )
+            _, sr = jax.lax.sort(
+                (key, fb), dimension=-1, num_keys=1, is_stable=False
+            )
+            urows = sr[:, :U]                            # (R, U)
+        occ_u = jnp.take(occ_flat, urows, axis=0).astype(jnp.bfloat16)
         got = jnp.einsum(
-            "rwu,ru->rw", onehot, occ_u,
+            "rwu,ru->rw", hot.astype(jnp.bfloat16), occ_u,
             preferred_element_type=jnp.bfloat16,
         )
         return got > 0.5
