@@ -86,6 +86,11 @@ def main():
         samples_per_ray=args.samples_per_ray,
         layout=args.layout,
         budget_per_ray=args.budget_per_ray,
+        # trainer-equivalent semantics: the adaptive bucket governs the
+        # union stream directly (factor 1.0); a fixed budget gets the
+        # quality-safe auto-K factor (RenderConfig default) — see
+        # trainer.py / docs/CONVERGENCE.md §4
+        union_budget_factor=1.0 if args.adaptive_budget else 0.0,
     )
     key = jax.random.PRNGKey(0)
     budget = args.budget_per_ray

@@ -78,7 +78,8 @@ def _expert_samples_union_flat(
     m, member = march_rays_union_flat(
         rays_o, rays_d, t1, t2, state["occ"], mcfg, noise,
         budget_per_ray=max(
-            1, round(rcfg.budget_per_ray * rcfg.union_budget_factor)
+            1, round(rcfg.budget_per_ray
+                     * (rcfg.union_budget_factor or K))
         ),
         cap_scale=K,   # per-ray cap stays expert-equivalent (free clamp)
     )

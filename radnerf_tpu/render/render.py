@@ -62,11 +62,17 @@ class RenderConfig:
     # MoE: march/encode the union of the K experts' samples once instead of
     # K independent renders (shared start jitter; see march_rays_union_flat)
     union_sampling: bool = True
-    # Scales budget_per_ray for the UNION stream only. 1.0 keeps the union
-    # encode as cheap as a single expert's (tail samples front-truncated
-    # when expert grids diverge — see march_rays_union_flat deviation 2);
-    # K recovers exact per-expert-march equivalence at K x encode cost.
-    union_budget_factor: float = 1.0
+    # Scales budget_per_ray for the UNION stream only. 0.0 = AUTO: resolve
+    # to n_experts at the call site — each expert then gets at least its
+    # per-expert-march budget even with fully disjoint grids, at a total
+    # encode cost NEVER exceeding K independent marches (shared samples
+    # dedup). 1.0 keeps the union encode as cheap as a single expert's but
+    # FRONT-TRUNCATES each expert's tail as grids diverge — measured -8 dB
+    # on the full-scale hard scene by step 250 (docs/CONVERGENCE.md §4);
+    # only use 1.0 when an adaptive controller governs budget_per_ray
+    # (the trainer's --adaptive_budget path, which grows the bucket as
+    # the union saturates).
+    union_budget_factor: float = 0.0
 
     def march(self, cfg: NGPConfig) -> MarchConfig:
         return MarchConfig(

@@ -151,14 +151,29 @@ class NeRFSystem:
         self.ext_params = None  # set by configure_model iff --optimize_ext
         self._last_budget_util = None  # --adaptive_budget measurement
 
-        # render config (exp_step_factor rule: train_ml.py:101-102)
+        # render config (exp_step_factor rule: train_ml.py:101-102).
+        # Union budgeting: with --adaptive_budget (default) the bucket
+        # ladder GOVERNS the union stream directly (factor 1.0; the
+        # ladder top is extended to K x below, so the budget can grow to
+        # per-expert equivalence as expert grids diverge and shrink back
+        # as they overlap). With a fixed budget the factor is auto-K
+        # (RenderConfig default 0.0) so quality never depends on a
+        # controller — see docs/CONVERGENCE.md §4 for the -8 dB failure
+        # mode of a fixed factor-1.0 union budget.
+        adaptive = getattr(hparams, "adaptive_budget", False)
         self.rcfg = RenderConfig(
             exp_step_factor=1 / 256 if hparams.scale > 0.5 else 0.0,
             samples_per_ray=getattr(hparams, "samples_per_ray", 192),
             random_bg=getattr(hparams, "random_bg", False),
             layout=getattr(hparams, "layout", "flat"),
             budget_per_ray=getattr(hparams, "budget_per_ray", 64),
+            union_budget_factor=1.0 if adaptive else 0.0,
         )
+        K_moe = hparams.model_zoo_size if self.moe else 1
+        self._budget_buckets = tuple(sorted(
+            set(BUDGET_BUCKETS)
+            | {b * k for b in (64, 96) for k in range(2, K_moe + 1)}
+        ))
 
         cdt = getattr(hparams, "compute_dtype", "bfloat16")
         himpl = getattr(hparams, "hash_impl", "auto")
@@ -419,7 +434,10 @@ class NeRFSystem:
 
         if self.rcfg.layout != "flat":
             return
-        new = next_budget_bucket(self.rcfg.budget_per_ray, util)
+        new = next_budget_bucket(
+            self.rcfg.budget_per_ray, util,
+            getattr(self, "_budget_buckets", BUDGET_BUCKETS),
+        )
         if new != self.rcfg.budget_per_ray:
             self.logger.info(
                 f"adaptive budget: util={util:.2f} -> budget_per_ray "
