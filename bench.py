@@ -136,30 +136,52 @@ def main():
         # ~inversely with the bucket size)
         import dataclasses
 
-        from radnerf_tpu.train.trainer import next_budget_bucket
+        from radnerf_tpu.train.trainer import (
+            BUDGET_BUCKETS,
+            next_budget_bucket,
+        )
+
+        # identical ladder to NeRFSystem (trainer.py): MoE extends the
+        # buckets with K*{64,96} so a saturated union stream can grow to
+        # the budget the quality-governed trainer would actually run at
+        buckets = tuple(sorted(
+            set(BUDGET_BUCKETS)
+            | {b * k for b in (64, 96) for k in range(2, args.experts + 1)}
+        ))
 
         pb = make_batch(999, min(args.batch, 2048))
 
-        @jax.jit
-        def probe(b):
-            out = ml_render_train(
-                params, state, cfg, gate_params,
-                b["rays_o"], b["rays_d"], b["rays_d"],
-                jax.random.PRNGKey(0), rcfg,
-            )
-            return out["budget_util"]
+        def probe(bud):
+            rc = dataclasses.replace(rcfg, budget_per_ray=bud)
 
-        util = float(probe(pb))
-        b, u = budget, util
-        while True:
-            nb = next_budget_bucket(b, u)
+            @jax.jit
+            def _p(b):
+                out = ml_render_train(
+                    params, state, cfg, gate_params,
+                    b["rays_o"], b["rays_d"], b["rays_d"],
+                    jax.random.PRNGKey(0), rc,
+                )
+                return out["budget_util"]
+
+            return float(_p(pb))
+
+        # walk the trainer's hysteresis to a MEASURED fixed point: the
+        # analytic inverse-scaling estimate seeds the walk, but each
+        # adopted bucket is confirmed by a real utilization probe, so
+        # the headline rays/s is measured at the budget the
+        # quality-governed trainer would actually settle at.
+        b = budget
+        u = util0 = probe(b)
+        for _ in range(len(buckets)):
+            nb = next_budget_bucket(b, u, buckets)
             if nb == b:
                 break
-            u *= b / nb
             b = nb
+            u = probe(b)
         if b != budget:
-            print(f"# adaptive budget: util={util:.2f} -> "
-                  f"budget_per_ray {budget} -> {b}", file=sys.stderr)
+            print(f"# adaptive budget: util={util0:.2f} -> "
+                  f"budget_per_ray {budget} -> {b} "
+                  f"(settled util={u:.2f})", file=sys.stderr)
             budget = b
             rcfg = dataclasses.replace(rcfg, budget_per_ray=b)
 

@@ -228,9 +228,15 @@ def occupancy_lookup_runs(
             # replaces the lax.sort run-compaction (~40% of the
             # candidate-occupancy cost at bench shapes)
             sel = jnp.where(hot & new[:, :, None], 1.0, 0.0)
+            # precision=HIGHEST: TPU's default matmul truncates f32
+            # operands to bf16 (~8 mantissa bits), which would silently
+            # corrupt flat cell indices up to 2^24; HIGHEST keeps the
+            # f32 exactness the <=2^24 guard relies on (same rationale
+            # as hashgrid_dedup's one-hot broadcast).
             urows = jnp.einsum(
                 "rwu,rw->ru", sel, fb.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ).astype(jnp.int32)
         else:
             key = jnp.where(

@@ -492,7 +492,14 @@ def render_test_compacted(
     miss_d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
     ro_ext = jnp.concatenate([jnp.asarray(rays_o), miss_o], axis=0)
     rd_ext = jnp.concatenate([jnp.asarray(rays_d), miss_d], axis=0)
-    for _ in range(total_phases):
+    # Run until no rays are alive. total_phases is the expected bound;
+    # the hard cap only guards against a pathological non-terminating
+    # march (e.g. a cursor bug) — hitting it is a bug, and silently
+    # returning partially-composited rays would hide it, so warn loudly.
+    phases_run = 0
+    hard_cap = max(4 * total_phases, 64)
+    while phases_run < hard_cap:
+        phases_run += 1
         n = len(idx)
         bucket = max(128, 1 << (n - 1).bit_length())
         pad = bucket - n
@@ -537,6 +544,16 @@ def render_test_compacted(
         for k in carry2:
             if k not in carry:                 # cursor, samples_done, ...
                 carry[k] = gather(carry2[k])
+    if len(idx) > 0:
+        import warnings
+
+        warnings.warn(
+            f"render_test_compacted: phase hard cap ({hard_cap}) "
+            f"exhausted with {len(idx)} rays still alive; their output "
+            "is partially composited (march did not terminate — this "
+            "indicates a cursor/budget bug)",
+            RuntimeWarning,
+        )
     return {
         **{k: jnp.asarray(v) for k, v in out_np.items()},
         "total_samples": jnp.asarray(total_samples),

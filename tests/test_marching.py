@@ -230,6 +230,39 @@ class TestOccupancyRunDedup:
         ded = occupancy_lookup_runs(xyz, dt, occ, cfg)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(ded))
 
+    @pytest.mark.tpu
+    def test_matches_full_gather_large_grid_tpu(self):
+        """TPU-semantics exactness: at G=128 flat indices reach 2^21,
+        far past bf16's ~8-bit mantissa. The sort-free compaction's
+        one-hot index matmul MUST therefore run at Precision.HIGHEST on
+        TPU (ADVICE r4 high) — this test runs on the real device (where
+        default matmul precision truncates f32 operands to bf16) and
+        fails if the einsum ever loses that annotation. CPU runs skip:
+        CPU matmuls are true-f32 and cannot detect the truncation."""
+        import jax
+
+        if jax.default_backend() in ("cpu",):
+            pytest.skip("needs accelerator matmul semantics")
+        from radnerf_tpu.ops.marching import (
+            occupancy_lookup, occupancy_lookup_runs,
+        )
+
+        cfg = MarchConfig(scale=0.5, cascades=1, grid_size=128)
+        rng = np.random.default_rng(7)
+        occ = jnp.asarray(rng.random((1, 128, 128, 128)) < 0.15)
+        N, K = 64, 512
+        o = rng.normal(size=(N, 3))
+        o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.2
+        d = -o / np.linalg.norm(o, axis=1, keepdims=True)
+        t = 0.7 + np.arange(K) * cfg.dt_min
+        xyz = jnp.asarray(
+            o[:, None, :] + t[None, :, None] * d[:, None, :], jnp.float32
+        )
+        dt = jnp.full((N, K), cfg.dt_min, jnp.float32)
+        full = occupancy_lookup(xyz, dt, occ, cfg)
+        ded = occupancy_lookup_runs(xyz, dt, occ, cfg)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(ded))
+
     def test_exp_stepping_falls_back(self):
         """Non-zero exp_step_factor (unbounded configs) must route to the
         plain gather — the run cap derivation assumes dt == dt_min."""
