@@ -106,6 +106,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument('--exp_name', type=str, default='base')
     parser.add_argument('--ckpt_path', type=str, default=None,
                         help='checkpoint to resume from (params + opt state)')
+    parser.add_argument('--resume', type=str, default=None,
+                        choices=['auto'],
+                        help="'auto': continue from the newest loadable "
+                             'checkpoint in the experiment ckpt dir (fresh '
+                             'start when none exists) — restart-safe '
+                             'training without tracking paths; an explicit '
+                             '--ckpt_path wins')
     parser.add_argument('--weight_path', type=str, default=None,
                         help='weights to warm-start from (params only)')
 
@@ -149,10 +156,13 @@ def get_parser() -> argparse.ArgumentParser:
                           'bucket). Default on; --no-adaptive_budget pins '
                           'the static --budget_per_ray')
     tpu.add_argument('--microbatch', type=int, default=0,
-                     help='split each local ray batch into this many '
-                          'sequential gradient-accumulation slices '
-                          '(identical expected gradient, lower peak HBM; '
-                          'use 2 for batch 8192 on a single v5e chip)')
+                     help='gradient-accumulation slices per local ray '
+                          'batch (identical expected gradient, lower peak '
+                          'HBM). 0 = AUTO: one slice per 4096 local rays, '
+                          'which keeps the reference headline batch 8192 '
+                          'off the measured v5e single-pass memory-'
+                          'pressure cliff (docs/PERF_NOTES.md); 1 forces '
+                          'single-pass')
     tpu.add_argument('--multihost', action='store_true', default=False,
                      help='join a multi-host pod slice via '
                           'jax.distributed.initialize before building the '

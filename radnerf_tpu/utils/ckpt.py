@@ -29,11 +29,18 @@ def _to_numpy(tree: Any) -> Any:
 
 
 def save_ckpt(path: str, payload: dict) -> None:
-    """Save a single-file pickle checkpoint. `payload` typically contains
-    params / gate_params / opt_state / model_state / step / hparams."""
+    """Save a single-file pickle checkpoint ATOMICALLY (tmp file +
+    os.replace): a kill/preemption mid-write can never leave a torn
+    checkpoint at `path`, so --resume auto may trust any file it finds.
+    `payload` typically contains params / gate_params / opt_state /
+    model_state / step / hparams."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(_to_numpy(payload), f, protocol=4)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 class OrbaxAsyncWriter:

@@ -18,6 +18,8 @@ def main():
     system.setup()
     if hparams.ckpt_path:
         system.resume(hparams.ckpt_path)
+    elif getattr(hparams, "resume", None) == "auto":
+        system.auto_resume()
     if hparams.val_only:
         system.validate(epoch=0)
     else:
