@@ -313,6 +313,8 @@ def hash_family(impl: str) -> str:
         return "slab"
     if r == "brick":
         return "brick"
+    if r == "brick3":
+        return "brick3"
     return "tcnn"
 
 
@@ -347,6 +349,12 @@ def encode_dispatch(
     Measured comparison: examples/bench_scatter.py."""
     if impl == "auto":
         impl = resolve_impl(impl)
+    if impl == "brick3":
+        if jnp.dtype(compute_dtype) == jnp.bfloat16:
+            from .hashgrid_brick3 import hashgrid_encode_brick3
+
+            return hashgrid_encode_brick3(table, x, cfg, compute_dtype)
+        impl = "dedup"
     if impl == "brick":
         if jnp.dtype(compute_dtype) == jnp.bfloat16:
             from .hashgrid_brick import hashgrid_encode_brick

@@ -1,0 +1,478 @@
+"""Cube-brick hash-grid encode: ONE 128-lane row per 5x5x5 lattice patch.
+
+Round-4's xy-patch brick layout (ops/hashgrid_brick.py) made the gather
+unit a full 512-byte row, but a sample's 8 trilinear corners still span
+TWO rows (z and z+1), so the forward costs 2 row issues per (level,
+point) and the backward sorts 2 entries per (level, point). This layout
+packs a 5 x 5 x 5 CUBE of lattice points (125 of 128 lanes, 4 owned
+cells + one halo point per axis) into each row:
+
+    lane(x, y, z) = (x - 4*px) + 5 * (y - 4*py) + 25 * (z - 4*pz)
+
+A cell's base local coords are <= 3, its far corners <= 4 = PLANE-1, so
+ALL EIGHT corners of any cell live in ONE row:
+
+  * forward: ONE row gather per (level, point) — half of brick's two.
+    Extraction is a dense VPU 8-offset weighted multi-hot (offsets
+    {0,1,5,6,25,26,30,31}), same cost family as brick's 4-offset mask.
+  * backward: ONE sorted entry per (level, point) — half the sort keys
+    and half the windowed-kernel walks; each entry carries all 8 corner
+    products per feature as 8 f16x2 payload words (same per-level
+    power-of-two loss scale as the other families).
+  * run coherence: along a ray the row changes only when the sample
+    crosses a 4-cell patch boundary in SOME axis, vs brick's every
+    1-cell z-step — runs are ~4x longer, which feeds the row-run dedup
+    (hashgrid_encode_brick3 fw 'runs' mode) at mid/fine levels where
+    brick's dedup was useless.
+
+Addressing (per level; R = T / 128 rows):
+  DENSE class ((res//4 + 1)^3 <= R):
+      row = px + np * (py + np * pz)             -- injective
+  HASHED class:
+      row = mix(px, py, pz, level) & (R - 1)     -- multiply-xor mix
+
+Deliberate deviations from tcnn's per-point xor hash (reference
+models/networks.py:42-55 semantics live in ops/hashgrid.py):
+  * collisions at CUBE-patch granularity (125-point blocks), ~1.5x more
+    patches at the finest levels than the xy layout; PSNR A/B at
+    fixture scale: docs/CONVERGENCE.md (round-5 row).
+  * lattice points on patch faces (x, y or z == 0 mod 4; the halo) are
+    stored once per adjacent patch and train independently, as in the
+    xy layout (quantified in the same A/B).
+
+Tables remain (L, T, 2) parameters; checkpoints are tied to the impl
+family ('brick3') that trained them. bfloat16-compute only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hashgrid import HashGridConfig, _cm_out
+from .hashgrid_brick import _geometry, _unpack_bf16
+
+LANES = 128
+PATCH = 4           # owned cells per patch axis
+PLANE = 5           # stored lattice points per patch axis (halo = 1)
+
+_MIX1 = np.uint32(2654435761)
+_MIX2 = np.uint32(805459861)
+_MIX3 = np.uint32(3674653429)
+_SALT = np.uint32(0x9E3779B9)
+_FMIX = np.uint32(0x85EBCA6B)
+
+TILE_SUB = 8
+TILE = TILE_SUB * LANES       # sorted entries per kernel tile
+WSPAN = 128                   # table rows per window add
+
+# corner lane offsets, (dz, dy, dx)-minor order: off = dx + 5 dy + 25 dz
+_OFFS3 = tuple(
+    dx + PLANE * dy + PLANE * PLANE * dz
+    for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Brick3Addr:
+    level: int
+    res: int
+    dense: bool
+    np_: int           # patches along each axis (dense class)
+    rows: int
+
+
+def brick3_addrs(cfg: HashGridConfig) -> list[_Brick3Addr]:
+    assert cfg.table_size % LANES == 0
+    R = cfg.table_size // LANES
+    out = []
+    for lvl, res in enumerate(cfg.level_resolutions()):
+        res = int(res)
+        np_ = res // PATCH + 1
+        need = np_ ** 3
+        if need <= R:
+            out.append(_Brick3Addr(lvl, res, True, np_, need))
+        else:
+            out.append(_Brick3Addr(lvl, res, False, np_, R))
+    return out
+
+
+def _brick3_row(a: _Brick3Addr, px, py, pz, R: int):
+    """Table row (u32) of cube patch (px, py, pz)."""
+    if a.dense:
+        n = jnp.uint32(a.np_)
+        return (
+            px.astype(jnp.uint32)
+            + n * (py.astype(jnp.uint32) + n * pz.astype(jnp.uint32))
+        )
+    h = (
+        px.astype(jnp.uint32) * _MIX1
+        ^ py.astype(jnp.uint32) * _MIX2
+        ^ pz.astype(jnp.uint32) * _MIX3
+    ) + jnp.uint32((int(_SALT) * (a.level + 1)) & 0xFFFFFFFF)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * _FMIX
+    h = h ^ (h >> jnp.uint32(13))
+    return h & jnp.uint32(R - 1)
+
+
+def _patch_lane3(xi, yi, zi):
+    """Patch coords + base lane of integer base coords."""
+    px = xi // PATCH
+    py = yi // PATCH
+    pz = zi // PATCH
+    lane0 = (
+        (xi - PATCH * px)
+        + PLANE * (yi - PATCH * py)
+        + PLANE * PLANE * (zi - PATCH * pz)
+    )
+    return px, py, pz, lane0
+
+
+def _corner_weights(frac_l):
+    """The 8 trilinear corner weights ((N,) f32 each) in _OFFS3 order."""
+    fx, fy, fz = frac_l[0], frac_l[1], frac_l[2]
+    wx = (1.0 - fx, fx)
+    wy = (1.0 - fy, fy)
+    wz = (1.0 - fz, fz)
+    return tuple(
+        wx[dx] * wy[dy] * wz[dz]
+        for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)
+    )
+
+
+def hashgrid_encode_brick3_fwd_impl(
+    table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig
+) -> jnp.ndarray:
+    """Non-differentiable cube-brick forward: ONE row gather per
+    (level, point). Returns (N, L*F) bf16-accurate features."""
+    L, T, F = table.shape
+    assert F == 2
+    N = x.shape[0]
+    R = T // LANES
+    packed = jax.lax.bitcast_convert_type(
+        table.astype(jnp.bfloat16), jnp.uint32
+    ).reshape(L * R, LANES)
+    addrs = brick3_addrs(cfg)
+    xi, yi, zi, frac = _geometry(x, cfg, list(range(L)))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
+
+    out0, out1 = [], []
+    for a in addrs:
+        px, py, pz, lane0 = _patch_lane3(
+            xi[a.level], yi[a.level], zi[a.level]
+        )
+        w8 = _corner_weights(frac[a.level])
+        r = _brick3_row(a, px, py, pz, R)
+        g = jnp.take(
+            packed, (jnp.uint32(a.level * R) + r).astype(jnp.int32),
+            axis=0,
+        )                                            # (N, 128) u32
+        lo, hi = _unpack_bf16(g)
+        # weighted 8-hot over the corner lanes — dense VPU
+        W = jnp.zeros((N, LANES), jnp.float32)
+        d = lanes - lane0[:, None]
+        for wc, off in zip(w8, _OFFS3):
+            W = W + jnp.where(d == off, wc[:, None], 0.0)
+        out0.append(jnp.sum(W * lo.astype(jnp.float32), axis=1))
+        out1.append(jnp.sum(W * hi.astype(jnp.float32), axis=1))
+    p0 = jnp.stack(out0).astype(jnp.bfloat16)
+    p1 = jnp.stack(out1).astype(jnp.bfloat16)
+    return _cm_out(p0, p1)
+
+
+def hashgrid_encode_brick3_ref(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Slow reference with the SAME cube-brick addressing: one scalar
+    gather per corner, differentiable via XLA scatter-add autodiff.
+    Ground truth for the fast path's tests."""
+    L, T, F = table.shape
+    assert F == 2
+    R = T // LANES
+    t0 = table[..., 0].astype(compute_dtype)
+    t1 = table[..., 1].astype(compute_dtype)
+    addrs = brick3_addrs(cfg)
+    xi, yi, zi, frac = _geometry(x, cfg, list(range(L)))
+
+    out0, out1 = [], []
+    for a in addrs:
+        px, py, pz, lane0 = _patch_lane3(
+            xi[a.level], yi[a.level], zi[a.level]
+        )
+        w8 = _corner_weights(frac[a.level])
+        r = _brick3_row(a, px, py, pz, R)
+        base = (r * jnp.uint32(LANES)).astype(jnp.int32)
+        a0 = jnp.zeros_like(frac[a.level, 2], dtype=compute_dtype)
+        a1 = jnp.zeros_like(a0)
+        for wc, off in zip(w8, _OFFS3):
+            flat = base + (lane0 + off)
+            w = wc.astype(compute_dtype)
+            a0 = a0 + w * jnp.take(t0[a.level], flat)
+            a1 = a1 + w * jnp.take(t1[a.level], flat)
+        out0.append(a0)
+        out1.append(a1)
+    return _cm_out(jnp.stack(out0), jnp.stack(out1))
+
+
+# ---------------------------------------------------------------- backward
+
+def _make_brick3_kernel(exact: bool):
+    """Kernel: `exact` keeps f32 matmul operands (test path); fast path
+    uses bf16 MXU operands with f32 accumulation (values are already
+    f16-quantized sort payloads)."""
+    mdtype = jnp.float32 if exact else jnp.bfloat16
+
+    def _brick3_scatter_kernel(sk_ref, skc_ref, *refs):
+        """Accumulate one (level, tile) block of sorted cube updates.
+
+        sk_ref:  (1, 1, TILE_SUB, LANES) int32 — sorted flat keys
+                 row * 128 + lane0.
+        skc_ref: (1, 1, LANES, TILE_SUB) int32 — same keys, column
+                 layout.
+        refs[:16]: value planes v{c}{f} for corner c in _OFFS3 and
+                 feature f — (1, 1, LANES, TILE_SUB) f32, column layout.
+        refs[16] (out): (1, 2*rows_pad, LANES) f32 — two stacked 128-lane
+                 feature slabs.
+
+        Per 128-entry sub-row the window span uses MIN/MAX of the rows
+        (not first/last), so correctness never depends on the stream
+        being sorted — sorting only keeps the span (and so the window
+        walk) short. One bf16 MXU one-hot matmul per window per feature;
+        no per-entry serial work (same structure as the xy-brick kernel,
+        ops/hashgrid_brick.py)."""
+        v_refs, out_ref = refs[:16], refs[16]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        rows_pad = out_ref.shape[1] // 2
+        jl_lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        w_sub = jax.lax.broadcasted_iota(jnp.int32, (WSPAN, LANES), 0)
+
+        for s in range(TILE_SUB):
+            row_l = sk_ref[0, 0, s, :].reshape(1, LANES) >> 7
+            lane0 = (skc_ref[0, 0, :, s] & 127).reshape(LANES, 1)
+            d = jl_lane - lane0                     # (128, 128)
+            V0 = jnp.zeros((LANES, LANES), jnp.float32)
+            V1 = jnp.zeros((LANES, LANES), jnp.float32)
+            for ci, off in enumerate(_OFFS3):
+                v0 = v_refs[2 * ci][0, 0, :, s].reshape(LANES, 1)
+                v1 = v_refs[2 * ci + 1][0, 0, :, s].reshape(LANES, 1)
+                hit = d == off
+                V0 = V0 + jnp.where(hit, v0, 0.0)
+                V1 = V1 + jnp.where(hit, v1, 0.0)
+            V0 = V0.astype(mdtype)
+            V1 = V1.astype(mdtype)
+            r_lo = jnp.min(row_l)
+            r_hi = jnp.max(row_l)
+            base0 = (r_lo >> 3) << 3                # sublane-aligned
+            n_win = (r_hi - base0) // WSPAN + 1
+
+            def body(w, _, row_l=row_l, V0=V0, V1=V1, base0=base0):
+                base = base0 + w * WSPAN
+                onehT = jnp.where(
+                    (row_l - base) == w_sub, 1.0, 0.0
+                ).astype(mdtype)                    # (WSPAN, entry)
+                for Vf, off in ((V0, 0), (V1, rows_pad)):
+                    contrib = jax.lax.dot_general(
+                        onehT, Vf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[0, pl.ds(off + base, WSPAN), :] = (
+                        out_ref[0, pl.ds(off + base, WSPAN), :] + contrib
+                    )
+                return 0
+
+            jax.lax.fori_loop(0, n_win, body, 0)
+
+    return _brick3_scatter_kernel
+
+
+def sorted_table_grad_brick3(
+    sk: jnp.ndarray,
+    vals: tuple,
+    table_size: int,
+    interpret: bool = False,
+    exact: bool = False,
+) -> jnp.ndarray:
+    """(L, T, 2) f32 gradient from a row-sorted cube update stream.
+
+    sk: (L, n) int32 sorted flat keys (row*128 + lane0); vals: 16 arrays
+    (L, n) f32 — corner (_OFFS3) x feature products."""
+    L, n = sk.shape
+    T = table_size
+    R = T // LANES
+    # pad one extra tile of zero-valued updates aimed at each level's
+    # last real key (shape-coincidence hazard — see xy-brick)
+    pad = ((-n) % TILE) + TILE
+    if pad:
+        sk = jnp.concatenate(
+            [sk, jnp.broadcast_to(sk[:, -1:], (L, pad))], axis=1
+        )
+        vals = tuple(jnp.pad(v, ((0, 0), (0, pad))) for v in vals)
+    n_pad = n + pad
+    n_tiles = n_pad // TILE
+    rows_pad = R + WSPAN
+    shape4 = (L, n_tiles, TILE_SUB, LANES)
+
+    def cols(a):
+        return a.reshape(shape4).swapaxes(2, 3)
+
+    sk4 = sk.reshape(shape4)
+    slab = pl.pallas_call(
+        _make_brick3_kernel(exact),
+        out_shape=jax.ShapeDtypeStruct((L, 2 * rows_pad, LANES),
+                                       jnp.float32),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_SUB, LANES), lambda l, p: (l, p, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] + [
+            pl.BlockSpec((1, 1, LANES, TILE_SUB), lambda l, p: (l, p, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 17,
+        out_specs=pl.BlockSpec(
+            (1, 2 * rows_pad, LANES), lambda l, p: (l, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sk4, cols(sk), *(cols(v) for v in vals))
+    slab = slab.reshape(L, 2, rows_pad, LANES)[:, :, :R, :]
+    return jnp.moveaxis(slab, 1, -1).reshape(L, T, 2)
+
+
+def _bwd_streams3(x: jnp.ndarray, g: jnp.ndarray, cfg: HashGridConfig):
+    """Sort streams: key (L, N) int32 + 16 value planes (L, N) f32."""
+    L = cfg.n_levels
+    N = x.shape[0]
+    R = cfg.table_size // LANES
+    gt = jnp.transpose(g).reshape(L, 2, N).astype(jnp.float32)
+    g0, g1 = gt[:, 0], gt[:, 1]
+    addrs = brick3_addrs(cfg)
+    xi, yi, zi, frac = _geometry(x, cfg, list(range(L)))
+
+    keys = []
+    vals: list[list] = [[] for _ in range(16)]
+    for a in addrs:
+        px, py, pz, lane0 = _patch_lane3(
+            xi[a.level], yi[a.level], zi[a.level]
+        )
+        w8 = _corner_weights(frac[a.level])
+        r = _brick3_row(a, px, py, pz, R)
+        keys.append((r * jnp.uint32(LANES)).astype(jnp.int32) + lane0)
+        for ci, wc in enumerate(w8):
+            vals[2 * ci].append(wc * g0[a.level])
+            vals[2 * ci + 1].append(wc * g1[a.level])
+    return jnp.stack(keys), [jnp.stack(v) for v in vals]
+
+
+def hashgrid_table_grad_brick3(
+    x: jnp.ndarray,
+    g: jnp.ndarray,
+    cfg: HashGridConfig,
+    interpret: bool = False,
+    pack_f16: bool = True,
+) -> jnp.ndarray:
+    """dL/dtable for the cube-brick addressing. Returns (L, T, 2) f32.
+
+    pack_f16 carries the 16 per-entry products as eight f16x2 u32
+    payloads (per-level power-of-two loss scale); False sorts 16 f32
+    payloads (exact, tests)."""
+    key, v = _bwd_streams3(x, g, cfg)
+    if not pack_f16:
+        sk, *sv = jax.lax.sort(
+            (key, *v), dimension=-1, num_keys=1, is_stable=False
+        )
+        return sorted_table_grad_brick3(
+            sk, tuple(sv), cfg.table_size, interpret=interpret, exact=True
+        )
+    amax = jnp.max(
+        functools.reduce(jnp.maximum, [jnp.abs(p) for p in v]),
+        axis=1, keepdims=True,
+    )
+    _, e = jnp.frexp(amax)
+    scale = jnp.where(
+        amax > 0.0, jnp.exp2((14 - e).astype(jnp.float32)), 1.0
+    )
+
+    def pack(a, b):
+        ha = jax.lax.bitcast_convert_type(
+            (a * scale).astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        hb = jax.lax.bitcast_convert_type(
+            (b * scale).astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        return ha | (hb << jnp.uint32(16))
+
+    packed = [pack(v[2 * i], v[2 * i + 1]) for i in range(8)]
+    sk, *sp = jax.lax.sort(
+        (key, *packed), dimension=-1, num_keys=1, is_stable=False
+    )
+
+    def unpack(p):
+        lo = jax.lax.bitcast_convert_type(
+            (p & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            (p >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        return lo, hi
+
+    sv = []
+    for p in sp:
+        lo, hi = unpack(p)
+        sv.extend((lo, hi))
+    grad = sorted_table_grad_brick3(
+        sk, tuple(sv), cfg.table_size, interpret=interpret
+    )
+    return grad * (1.0 / scale)[:, :, None]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_brick3(cfg: HashGridConfig, interpret: bool):
+    @jax.custom_vjp
+    def fused(table, x):
+        return hashgrid_encode_brick3_fwd_impl(table, x, cfg)
+
+    def fwd(table, x):
+        return fused(table, x), (x, jnp.zeros((0,), table.dtype))
+
+    def bwd(res, g):
+        x, dtype_token = res
+        dtable = hashgrid_table_grad_brick3(
+            x, g.astype(jnp.float32), cfg, interpret=interpret
+        )
+        return dtable.astype(dtype_token.dtype), jnp.zeros_like(x)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def hashgrid_encode_brick3(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Cube-brick hash-grid encode (fast TPU path; see module docstring).
+
+    bfloat16-only (packed-u32 row fetches). No gradient to x (reference
+    RayMarcher position grads are never consumed)."""
+    if jnp.dtype(compute_dtype) != jnp.bfloat16:
+        raise ValueError("hashgrid_encode_brick3 is bfloat16-only")
+    return _make_fused_brick3(cfg, interpret)(table, x)

@@ -136,7 +136,8 @@ def get_parser() -> argparse.ArgumentParser:
                      help='MLP/hash-gather compute dtype (params stay fp32)')
     tpu.add_argument('--hash_impl', type=str, default='auto',
                      choices=['auto', 'xla', 'pallas', 'sort', 'window',
-                              'dedup', 'slab', 'slab_plain', 'brick'],
+                              'dedup', 'slab', 'slab_plain', 'brick',
+                              'brick3'],
                      help='hash-grid encode backend (ops/hashgrid.py '
                           'encode_dispatch); slab/brick use TPU-native '
                           'table layouts with their own hashes — '
