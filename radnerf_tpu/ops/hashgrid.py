@@ -313,7 +313,7 @@ def hash_family(impl: str) -> str:
         return "slab"
     if r == "brick":
         return "brick"
-    if r == "brick3":
+    if r in ("brick3", "brick3_plain"):
         return "brick3"
     return "tcnn"
 
@@ -324,7 +324,11 @@ def incoherent_impl(impl: str) -> str:
     always overflow to its fallback and waste its per-level sorts, so route
     to the plain-forward variant of the same table layout."""
     r = resolve_impl(impl)
-    return {"dedup": "window", "slab": "slab_plain"}.get(r, r)
+    return {
+        "dedup": "window",
+        "slab": "slab_plain",
+        "brick3": "brick3_plain",
+    }.get(r, r)
 
 
 def encode_dispatch(
@@ -349,11 +353,14 @@ def encode_dispatch(
     Measured comparison: examples/bench_scatter.py."""
     if impl == "auto":
         impl = resolve_impl(impl)
-    if impl == "brick3":
+    if impl in ("brick3", "brick3_plain"):
         if jnp.dtype(compute_dtype) == jnp.bfloat16:
             from .hashgrid_brick3 import hashgrid_encode_brick3
 
-            return hashgrid_encode_brick3(table, x, cfg, compute_dtype)
+            return hashgrid_encode_brick3(
+                table, x, cfg, compute_dtype,
+                fw_mode="plain" if impl == "brick3_plain" else "runs",
+            )
         impl = "dedup"
     if impl == "brick":
         if jnp.dtype(compute_dtype) == jnp.bfloat16:

@@ -147,11 +147,45 @@ def _corner_weights(frac_l):
     )
 
 
+RUN_BLOCK = 512      # samples per run-dedup block
+RUN_SLACK = 64       # extra runs allowed per block (ray/segment bounds)
+RUN_MAX_FRAC = 0.55  # dedup a level only when U <= this fraction of W
+
+
+def _run_cap(res: int, block: int) -> int:
+    """Static bound on distinct cube rows a `block`-sample stretch of a
+    dt_min-lattice ray stream touches at level `res`: the row changes
+    when the sample crosses a 4-cell patch boundary in SOME axis, at
+    total rate (|dx|+|dy|+|dz|) * dt_min * res / (2 * scale * PATCH)
+    <= 3 * res / (max_samples * PATCH) per sample (dt_min = 2 * scale *
+    sqrt(3) / max_samples, max_samples 1024). +RUN_SLACK covers ray /
+    segment boundaries inside a block and the tail pad. Streams that
+    break the assumption (coarser-than-dt_min spacing, random points)
+    overflow into the exact lax.cond fallback — never wrong, only
+    slower."""
+    import math
+
+    u = int(math.ceil(block * min(1.0, 3.0 * res / 4096.0))) + RUN_SLACK
+    return min(block, (u + 7) // 8 * 8)
+
+
 def hashgrid_encode_brick3_fwd_impl(
-    table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    cfg: HashGridConfig,
+    fw_mode: str = "runs",
 ) -> jnp.ndarray:
-    """Non-differentiable cube-brick forward: ONE row gather per
-    (level, point). Returns (N, L*F) bf16-accurate features."""
+    """Non-differentiable cube-brick forward. Returns (N, L*F)
+    bf16-accurate features (level-major).
+
+    fw_mode 'plain': ONE row gather per (level, point).
+    fw_mode 'runs':  per-block run-length dedup of the row stream —
+        consecutive samples share cube rows (~4 cells per patch axis),
+        so only run representatives gather; rows broadcast back through
+        an exact bf16 one-hot MXU matmul (one-hot x bf16 row values —
+        every product exact). Levels whose static run cap exceeds
+        RUN_MAX_FRAC of the block stay on the plain gather; a level
+        whose stream overflows its cap falls back via lax.cond."""
     L, T, F = table.shape
     assert F == 2
     N = x.shape[0]
@@ -163,25 +197,91 @@ def hashgrid_encode_brick3_fwd_impl(
     xi, yi, zi, frac = _geometry(x, cfg, list(range(L)))
     lanes = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
 
+    W_blk = RUN_BLOCK
+    pad = (-N) % W_blk
+    n_blocks = (N + pad) // W_blk
+
     out0, out1 = [], []
     for a in addrs:
         px, py, pz, lane0 = _patch_lane3(
             xi[a.level], yi[a.level], zi[a.level]
         )
         w8 = _corner_weights(frac[a.level])
-        r = _brick3_row(a, px, py, pz, R)
-        g = jnp.take(
-            packed, (jnp.uint32(a.level * R) + r).astype(jnp.int32),
-            axis=0,
-        )                                            # (N, 128) u32
-        lo, hi = _unpack_bf16(g)
+        r = (
+            jnp.uint32(a.level * R)
+            + _brick3_row(a, px, py, pz, R)
+        ).astype(jnp.int32)                          # (N,) global row
+        U = _run_cap(a.res, W_blk)
+        use_runs = (
+            fw_mode == "runs"
+            and U <= int(W_blk * RUN_MAX_FRAC)
+            and N >= W_blk
+        )
+        if use_runs:
+            rp = r
+            if pad:
+                rp = jnp.concatenate(
+                    [rp, jnp.broadcast_to(rp[-1:], (pad,))]
+                )
+            rb = rp.reshape(n_blocks, W_blk)
+            new = jnp.concatenate(
+                [jnp.ones_like(rb[:, :1], jnp.bool_),
+                 rb[:, 1:] != rb[:, :-1]], axis=1,
+            )
+            rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+            nruns = rank[:, -1] + 1
+
+            def dedup(_, rb=rb, new=new, rank=rank, U=U):
+                hot = (
+                    rank[:, :, None]
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, rank.shape + (U,), 2
+                    )
+                )
+                # rep rows -> compacted (n_blocks, U) WITHOUT a sort;
+                # HIGHEST keeps the f32 index matmul exact (global rows
+                # < L*R <= 2^24; TPU default truncates to bf16)
+                sel = jnp.where(hot & new[:, :, None], 1.0, 0.0)
+                urows = jnp.einsum(
+                    "bwu,bw->bu", sel, rb.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(jnp.int32)
+                rows = jnp.take(packed, urows.reshape(-1), axis=0)
+                rows = rows.reshape(n_blocks, U, LANES)
+                lo_u, hi_u = _unpack_bf16(rows)      # (B, U, 128) bf16
+                hotb = hot.astype(jnp.bfloat16)
+                # exact: one-hot x bf16 — each output is ONE product
+                lo_b = jnp.einsum(
+                    "bwu,bul->bwl", hotb, lo_u,
+                    preferred_element_type=jnp.float32,
+                )
+                hi_b = jnp.einsum(
+                    "bwu,bul->bwl", hotb, hi_u,
+                    preferred_element_type=jnp.float32,
+                )
+                return (lo_b.reshape(-1, LANES)[:N],
+                        hi_b.reshape(-1, LANES)[:N])
+
+            def full(_, rb=rb):
+                g = jnp.take(packed, rb.reshape(-1), axis=0)
+                lo_f, hi_f = _unpack_bf16(g)
+                return (lo_f.astype(jnp.float32)[:N],
+                        hi_f.astype(jnp.float32)[:N])
+
+            lo, hi = jax.lax.cond(jnp.any(nruns > U), full, dedup, None)
+        else:
+            g = jnp.take(packed, r, axis=0)          # (N, 128) u32
+            lo_b, hi_b = _unpack_bf16(g)
+            lo = lo_b.astype(jnp.float32)
+            hi = hi_b.astype(jnp.float32)
         # weighted 8-hot over the corner lanes — dense VPU
         W = jnp.zeros((N, LANES), jnp.float32)
         d = lanes - lane0[:, None]
         for wc, off in zip(w8, _OFFS3):
             W = W + jnp.where(d == off, wc[:, None], 0.0)
-        out0.append(jnp.sum(W * lo.astype(jnp.float32), axis=1))
-        out1.append(jnp.sum(W * hi.astype(jnp.float32), axis=1))
+        out0.append(jnp.sum(W * lo, axis=1))
+        out1.append(jnp.sum(W * hi, axis=1))
     p0 = jnp.stack(out0).astype(jnp.bfloat16)
     p1 = jnp.stack(out1).astype(jnp.bfloat16)
     return _cm_out(p0, p1)
@@ -443,10 +543,11 @@ def hashgrid_table_grad_brick3(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_brick3(cfg: HashGridConfig, interpret: bool):
+def _make_fused_brick3(cfg: HashGridConfig, interpret: bool,
+                       fw_mode: str = "runs"):
     @jax.custom_vjp
     def fused(table, x):
-        return hashgrid_encode_brick3_fwd_impl(table, x, cfg)
+        return hashgrid_encode_brick3_fwd_impl(table, x, cfg, fw_mode)
 
     def fwd(table, x):
         return fused(table, x), (x, jnp.zeros((0,), table.dtype))
@@ -468,11 +569,15 @@ def hashgrid_encode_brick3(
     cfg: HashGridConfig,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    fw_mode: str = "runs",
 ) -> jnp.ndarray:
     """Cube-brick hash-grid encode (fast TPU path; see module docstring).
 
-    bfloat16-only (packed-u32 row fetches). No gradient to x (reference
-    RayMarcher position grads are never consumed)."""
+    bfloat16-only (packed-u32 row fetches). fw_mode 'runs' (default)
+    dedups ray-coherent row runs before gathering; 'plain' is one gather
+    per (level, point) — the right mode for spatially-incoherent point
+    sets (density-grid updates). No gradient to x (reference RayMarcher
+    position grads are never consumed)."""
     if jnp.dtype(compute_dtype) != jnp.bfloat16:
         raise ValueError("hashgrid_encode_brick3 is bfloat16-only")
-    return _make_fused_brick3(cfg, interpret)(table, x)
+    return _make_fused_brick3(cfg, interpret, fw_mode)(table, x)

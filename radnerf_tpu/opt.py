@@ -137,7 +137,7 @@ def get_parser() -> argparse.ArgumentParser:
     tpu.add_argument('--hash_impl', type=str, default='auto',
                      choices=['auto', 'xla', 'pallas', 'sort', 'window',
                               'dedup', 'slab', 'slab_plain', 'brick',
-                              'brick3'],
+                              'brick3', 'brick3_plain'],
                      help='hash-grid encode backend (ops/hashgrid.py '
                           'encode_dispatch); slab/brick use TPU-native '
                           'table layouts with their own hashes — '

@@ -159,6 +159,44 @@ def test_unsorted_stream_still_exact():
     )
 
 
+def _ray_stream(n_rays=8, k=256, seed=2):
+    """dt_min-lattice ray-ordered samples (the run-dedup's assumption)."""
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n_rays, 3))
+    o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.1
+    d = -o + rng.normal(size=(n_rays, 3)) * 0.05
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    dt = 2.0 * np.sqrt(3.0) / 1024.0          # dt_min at scale 1 domain
+    t = 0.6 + np.arange(k) * dt
+    pts = (o[:, None] + t[None, :, None] * d[:, None]).reshape(-1, 3)
+    return jnp.asarray(np.clip(pts * 0.4 + 0.5, 1e-3, 1 - 1e-3),
+                       jnp.float32)
+
+
+def test_runs_mode_matches_plain_on_ray_stream():
+    """fw_mode='runs' is EXACT vs 'plain' on a ray-coherent stream (the
+    dedup path engages: 2048 samples >= RUN_BLOCK, runs ~dozens of
+    samples at coarse levels)."""
+    table, _ = _data()
+    x = _ray_stream()
+    plain = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "plain")
+    runs = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "runs")
+    np.testing.assert_array_equal(
+        np.asarray(plain, np.float32), np.asarray(runs, np.float32)
+    )
+
+
+def test_runs_mode_random_points_fall_back_exactly():
+    """Spatially-random points overflow every level's run cap -> the
+    lax.cond fallback must reproduce the plain gather exactly."""
+    table, x = _data(n=1024, seed=9)
+    plain = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "plain")
+    runs = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "runs")
+    np.testing.assert_array_equal(
+        np.asarray(plain, np.float32), np.asarray(runs, np.float32)
+    )
+
+
 def test_within_patch_continuity():
     """Cells inside a cube patch share corner entries: continuous across
     any cell boundary that is NOT a 4-cell patch boundary."""
