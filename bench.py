@@ -151,19 +151,37 @@ def main():
 
         pb = make_batch(999, min(args.batch, 2048))
 
+        # march-only probe: budget_util is a pure property of the march
+        # (ml_render.py: m['total'] / B), so probing each candidate
+        # bucket compiles only the march subgraph, not a full render —
+        # keeps the fixpoint walk out of the warmup budget
+        from radnerf_tpu.models.ngp import scene_center_half
+        from radnerf_tpu.ops.intersection import scene_near_far
+        from radnerf_tpu.ops.marching import march_rays_union_flat
+
+        mcfg = rcfg.march(cfg)
+        center, half = scene_center_half(state)
+        pt1, pt2 = scene_near_far(
+            pb["rays_o"], pb["rays_d"], center, half, 0.01
+        )
+        pnoise = jax.random.uniform(
+            jax.random.PRNGKey(0), (pb["rays_o"].shape[0],)
+        )
+
         def probe(bud):
-            rc = dataclasses.replace(rcfg, budget_per_ray=bud)
+            eff = max(1, round(bud * (rcfg.union_budget_factor
+                                      or args.experts)))
 
             @jax.jit
-            def _p(b):
-                out = ml_render_train(
-                    params, state, cfg, gate_params,
-                    b["rays_o"], b["rays_d"], b["rays_d"],
-                    jax.random.PRNGKey(0), rc,
+            def _p(o, d, t1, t2, occ, noise):
+                m, _ = march_rays_union_flat(
+                    o, d, t1, t2, occ, mcfg, noise,
+                    budget_per_ray=eff, cap_scale=args.experts,
                 )
-                return out["budget_util"]
+                return m["total"].astype(jnp.float32) / m["ts"].shape[0]
 
-            return float(_p(pb))
+            return float(_p(pb["rays_o"], pb["rays_d"], pt1, pt2,
+                            state["occ"], pnoise))
 
         # walk the trainer's hysteresis to a MEASURED fixed point: the
         # analytic inverse-scaling estimate seeds the walk, but each

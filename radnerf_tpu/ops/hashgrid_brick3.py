@@ -328,73 +328,101 @@ def hashgrid_encode_brick3_ref(
 
 def _make_brick3_kernel(exact: bool):
     """Kernel: `exact` keeps f32 matmul operands (test path); fast path
-    uses bf16 MXU operands with f32 accumulation (values are already
+    uses bf16 MXU operands with f32 accumulation (V rows are already
     f16-quantized sort payloads)."""
     mdtype = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else None
 
-    def _brick3_scatter_kernel(sk_ref, skc_ref, *refs):
+    def _brick3_scatter_kernel(
+        skw_ref, g0w_ref, g1w_ref, skc_ref, fxc, fyc, fzc, out_ref, m_s
+    ):
         """Accumulate one (level, tile) block of sorted cube updates.
 
-        sk_ref:  (1, 1, TILE_SUB, LANES) int32 — sorted flat keys
-                 row * 128 + lane0.
-        skc_ref: (1, 1, LANES, TILE_SUB) int32 — same keys, column
-                 layout.
-        refs[:16]: value planes v{c}{f} for corner c in _OFFS3 and
-                 feature f — (1, 1, LANES, TILE_SUB) f32, column layout.
-        refs[16] (out): (1, 2*rows_pad, LANES) f32 — two stacked 128-lane
-                 feature slabs.
+        Phase 1 builds the per-entry trilinear STENCIL rows m[e, lane] =
+        ax * ay * az into VMEM scratch from the AXIS-FACTORED form: ax
+        compares the lane's static cube x-coordinate (lane % 5) against
+        the entry's base (lane0_e % 5) — six compares per element vs
+        the round-4 design's 16 corner-offset selects, and no HBM V
+        materialization (an XLA-side build measured ~50 ms at 16 x 524k
+        from the forced (L, n, 128) round-trip). The output gradients
+        g_f never enter the scratch: they scale the one-hot's COLUMNS
+        in phase 2 (out = (onehT * g_f^T) @ m), so one stencil serves
+        both features.
 
-        Per 128-entry sub-row the window span uses MIN/MAX of the rows
-        (not first/last), so correctness never depends on the stream
-        being sorted — sorting only keeps the span (and so the window
-        walk) short. One bf16 MXU one-hot matmul per window per feature;
-        no per-entry serial work (same structure as the xy-brick kernel,
-        ops/hashgrid_brick.py)."""
-        v_refs, out_ref = refs[:16], refs[16]
+        skw/g0w/g1w_ref: (1, 1, 1, TILE) — keys + the two feature
+                 output-gradients, entry axis on LANES.
+        skc / fxc / fyc / fzc: (1, 1, LANES, TILE_SUB) — keys and the
+                 trilinear fractions in COLUMN layout: entry axis on
+                 sublanes, no in-kernel relayout (measured hazard).
+        out_ref: (1, 2*rows_pad, LANES) f32 — two stacked feature slabs.
+        m_s: (TILE, LANES) scratch — the built stencil rows.
 
+        Phase 2 scatters whole windows with ONE big g-scaled one-hot
+        matmul (WSPAN, TILE) @ (TILE, 128) per feature per window.
+        Window span uses MIN/MAX of the tile's rows, so correctness
+        never depends on the stream being sorted — sorting only keeps
+        the span (and so the window walk) short."""
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
         rows_pad = out_ref.shape[1] // 2
-        jl_lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        w_sub = jax.lax.broadcasted_iota(jnp.int32, (WSPAN, LANES), 0)
+        tile = skw_ref.shape[3]
+        # static per-lane cube coordinates of each target lane
+        ll = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        lxl = ll % PLANE
+        lyl = (ll // PLANE) % PLANE
+        lzl = ll // (PLANE * PLANE)
 
         for s in range(TILE_SUB):
-            row_l = sk_ref[0, 0, s, :].reshape(1, LANES) >> 7
             lane0 = (skc_ref[0, 0, :, s] & 127).reshape(LANES, 1)
-            d = jl_lane - lane0                     # (128, 128)
-            V0 = jnp.zeros((LANES, LANES), jnp.float32)
-            V1 = jnp.zeros((LANES, LANES), jnp.float32)
-            for ci, off in enumerate(_OFFS3):
-                v0 = v_refs[2 * ci][0, 0, :, s].reshape(LANES, 1)
-                v1 = v_refs[2 * ci + 1][0, 0, :, s].reshape(LANES, 1)
-                hit = d == off
-                V0 = V0 + jnp.where(hit, v0, 0.0)
-                V1 = V1 + jnp.where(hit, v1, 0.0)
-            V0 = V0.astype(mdtype)
-            V1 = V1.astype(mdtype)
-            r_lo = jnp.min(row_l)
-            r_hi = jnp.max(row_l)
-            base0 = (r_lo >> 3) << 3                # sublane-aligned
-            n_win = (r_hi - base0) // WSPAN + 1
+            lx0 = lane0 % PLANE
+            ly0 = (lane0 // PLANE) % PLANE
+            lz0 = lane0 // (PLANE * PLANE)
+            fxv = fxc[0, 0, :, s].reshape(LANES, 1)
+            fyv = fyc[0, 0, :, s].reshape(LANES, 1)
+            fzv = fzc[0, 0, :, s].reshape(LANES, 1)
+            ax = jnp.where(
+                lxl == lx0, 1.0 - fxv,
+                jnp.where(lxl == lx0 + 1, fxv, 0.0),
+            )
+            ay = jnp.where(
+                lyl == ly0, 1.0 - fyv,
+                jnp.where(lyl == ly0 + 1, fyv, 0.0),
+            )
+            az = jnp.where(
+                lzl == lz0, 1.0 - fzv,
+                jnp.where(lzl == lz0 + 1, fzv, 0.0),
+            )
+            m_s[pl.ds(s * LANES, LANES), :] = (ax * ay * az).astype(
+                mdtype
+            )
 
-            def body(w, _, row_l=row_l, V0=V0, V1=V1, base0=base0):
-                base = base0 + w * WSPAN
-                onehT = jnp.where(
-                    (row_l - base) == w_sub, 1.0, 0.0
-                ).astype(mdtype)                    # (WSPAN, entry)
-                for Vf, off in ((V0, 0), (V1, rows_pad)):
-                    contrib = jax.lax.dot_general(
-                        onehT, Vf, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    out_ref[0, pl.ds(off + base, WSPAN), :] = (
-                        out_ref[0, pl.ds(off + base, WSPAN), :] + contrib
-                    )
-                return 0
+        row_e = skw_ref[0, 0, :, :] >> 7            # (1, TILE)
+        g0w = g0w_ref[0, 0, :, :]                   # (1, TILE)
+        g1w = g1w_ref[0, 0, :, :]
+        w_sub = jax.lax.broadcasted_iota(jnp.int32, (WSPAN, tile), 0)
+        r_lo = jnp.min(row_e)
+        r_hi = jnp.max(row_e)
+        base0 = (r_lo >> 3) << 3                    # sublane-aligned
+        n_win = (r_hi - base0) // WSPAN + 1
 
-            jax.lax.fori_loop(0, n_win, body, 0)
+        def body(w, _):
+            base = base0 + w * WSPAN
+            hit = (row_e - base) == w_sub           # (WSPAN, TILE)
+            for gw, off in ((g0w, 0), (g1w, rows_pad)):
+                onehg = jnp.where(hit, gw, 0.0).astype(mdtype)
+                contrib = jax.lax.dot_general(
+                    onehg, m_s[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )                                   # (WSPAN, 128)
+                out_ref[0, pl.ds(off + base, WSPAN), :] = (
+                    out_ref[0, pl.ds(off + base, WSPAN), :] + contrib
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_win, body, 0)
 
     return _brick3_scatter_kernel
 
@@ -408,8 +436,20 @@ def sorted_table_grad_brick3(
 ) -> jnp.ndarray:
     """(L, T, 2) f32 gradient from a row-sorted cube update stream.
 
-    sk: (L, n) int32 sorted flat keys (row*128 + lane0); vals: 16 arrays
-    (L, n) f32 — corner (_OFFS3) x feature products."""
+    sk: (L, n) int32 sorted flat keys (row*128 + lane0); vals: 5 arrays
+    (L, n) f32 — (fx, fy, fz, g0, g1): the trilinear fractions and the
+    two feature output-gradients per entry. The 8 corner products are
+    NEVER materialized: the per-entry V row factors as
+
+        V_f[e, lane] = ax[e,lane] * ay[e,lane] * az[e,lane] * g_f[e]
+
+    where ax = (lx_lane == lx0_e) ? (1-fx) : (lx_lane == lx0_e+1) ? fx
+    : 0 against the STATIC per-lane cube coordinates lx = lane % 5,
+    ly = (lane // 5) % 5, lz = lane // 25 — six compares per element
+    instead of eight corner-offset selects per feature, and no f16
+    packing/quantization at all (payload count does not change
+    lax.sort's cost on TPU; measured flat 27 ms at 16 x 524k for 1..8
+    payloads)."""
     L, n = sk.shape
     T = table_size
     R = T // LANES
@@ -424,39 +464,52 @@ def sorted_table_grad_brick3(
     n_pad = n + pad
     n_tiles = n_pad // TILE
     rows_pad = R + WSPAN
+
+    # column layout: per-tile entry axis on sublanes (the kernel builds
+    # V rows without any in-kernel relayout or transpose)
+    vdtype = jnp.float32 if exact else jnp.bfloat16
     shape4 = (L, n_tiles, TILE_SUB, LANES)
 
     def cols(a):
         return a.reshape(shape4).swapaxes(2, 3)
 
-    sk4 = sk.reshape(shape4)
+    fx, fy, fz, g0, g1 = vals
+    skw = sk.reshape(L, n_tiles, 1, TILE)
+    g0w = g0.reshape(L, n_tiles, 1, TILE)
+    g1w = g1.reshape(L, n_tiles, 1, TILE)
+    wide_spec = pl.BlockSpec(
+        (1, 1, 1, TILE), lambda l, p: (l, p, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    col_spec = pl.BlockSpec(
+        (1, 1, LANES, TILE_SUB), lambda l, p: (l, p, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     slab = pl.pallas_call(
         _make_brick3_kernel(exact),
         out_shape=jax.ShapeDtypeStruct((L, 2 * rows_pad, LANES),
                                        jnp.float32),
         grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, TILE_SUB, LANES), lambda l, p: (l, p, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] + [
-            pl.BlockSpec((1, 1, LANES, TILE_SUB), lambda l, p: (l, p, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 17,
+        in_specs=[wide_spec] * 3 + [col_spec] * 4,
         out_specs=pl.BlockSpec(
             (1, 2 * rows_pad, LANES), lambda l, p: (l, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, LANES), vdtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sk4, cols(sk), *(cols(v) for v in vals))
+    )(skw, g0w, g1w, cols(sk), cols(fx), cols(fy), cols(fz))
     slab = slab.reshape(L, 2, rows_pad, LANES)[:, :, :R, :]
     return jnp.moveaxis(slab, 1, -1).reshape(L, T, 2)
 
 
 def _bwd_streams3(x: jnp.ndarray, g: jnp.ndarray, cfg: HashGridConfig):
-    """Sort streams: key (L, N) int32 + 16 value planes (L, N) f32."""
+    """Sort streams: key (L, N) int32 + 5 payload planes (L, N) f32
+    (fx, fy, fz, g0, g1 — see sorted_table_grad_brick3)."""
     L = cfg.n_levels
     N = x.shape[0]
     R = cfg.table_size // LANES
@@ -466,18 +519,13 @@ def _bwd_streams3(x: jnp.ndarray, g: jnp.ndarray, cfg: HashGridConfig):
     xi, yi, zi, frac = _geometry(x, cfg, list(range(L)))
 
     keys = []
-    vals: list[list] = [[] for _ in range(16)]
     for a in addrs:
         px, py, pz, lane0 = _patch_lane3(
             xi[a.level], yi[a.level], zi[a.level]
         )
-        w8 = _corner_weights(frac[a.level])
         r = _brick3_row(a, px, py, pz, R)
         keys.append((r * jnp.uint32(LANES)).astype(jnp.int32) + lane0)
-        for ci, wc in enumerate(w8):
-            vals[2 * ci].append(wc * g0[a.level])
-            vals[2 * ci + 1].append(wc * g1[a.level])
-    return jnp.stack(keys), [jnp.stack(v) for v in vals]
+    return jnp.stack(keys), (frac[:, 0], frac[:, 1], frac[:, 2], g0, g1)
 
 
 def hashgrid_table_grad_brick3(
@@ -485,61 +533,22 @@ def hashgrid_table_grad_brick3(
     g: jnp.ndarray,
     cfg: HashGridConfig,
     interpret: bool = False,
-    pack_f16: bool = True,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """dL/dtable for the cube-brick addressing. Returns (L, T, 2) f32.
 
-    pack_f16 carries the 16 per-entry products as eight f16x2 u32
-    payloads (per-level power-of-two loss scale); False sorts 16 f32
-    payloads (exact, tests)."""
+    Sorts (key, fx, fy, fz, g0, g1) — raw f32 payloads, no f16 packing
+    or loss-scaling (payload count does not change TPU sort cost, and
+    the axis-factored V build never materializes corner products).
+    `exact` keeps f32 matmul operands in the window kernel (tests)."""
     key, v = _bwd_streams3(x, g, cfg)
-    if not pack_f16:
-        sk, *sv = jax.lax.sort(
-            (key, *v), dimension=-1, num_keys=1, is_stable=False
-        )
-        return sorted_table_grad_brick3(
-            sk, tuple(sv), cfg.table_size, interpret=interpret, exact=True
-        )
-    amax = jnp.max(
-        functools.reduce(jnp.maximum, [jnp.abs(p) for p in v]),
-        axis=1, keepdims=True,
+    sk, *sv = jax.lax.sort(
+        (key, *v), dimension=-1, num_keys=1, is_stable=False
     )
-    _, e = jnp.frexp(amax)
-    scale = jnp.where(
-        amax > 0.0, jnp.exp2((14 - e).astype(jnp.float32)), 1.0
+    return sorted_table_grad_brick3(
+        sk, tuple(sv), cfg.table_size, interpret=interpret, exact=exact
     )
 
-    def pack(a, b):
-        ha = jax.lax.bitcast_convert_type(
-            (a * scale).astype(jnp.float16), jnp.uint16
-        ).astype(jnp.uint32)
-        hb = jax.lax.bitcast_convert_type(
-            (b * scale).astype(jnp.float16), jnp.uint16
-        ).astype(jnp.uint32)
-        return ha | (hb << jnp.uint32(16))
-
-    packed = [pack(v[2 * i], v[2 * i + 1]) for i in range(8)]
-    sk, *sp = jax.lax.sort(
-        (key, *packed), dimension=-1, num_keys=1, is_stable=False
-    )
-
-    def unpack(p):
-        lo = jax.lax.bitcast_convert_type(
-            (p & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16
-        ).astype(jnp.float32)
-        hi = jax.lax.bitcast_convert_type(
-            (p >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16
-        ).astype(jnp.float32)
-        return lo, hi
-
-    sv = []
-    for p in sp:
-        lo, hi = unpack(p)
-        sv.extend((lo, hi))
-    grad = sorted_table_grad_brick3(
-        sk, tuple(sv), cfg.table_size, interpret=interpret
-    )
-    return grad * (1.0 / scale)[:, :, None]
 
 
 @functools.lru_cache(maxsize=None)

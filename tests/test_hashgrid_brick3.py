@@ -91,15 +91,14 @@ def test_table_grad_matches_ref_autodiff():
         )
 
     ref_grad = jax.grad(ref_loss)(table)
-    grad = hashgrid_table_grad_brick3(
-        x, g, CFG, interpret=True, pack_f16=False
-    )
+    grad = hashgrid_table_grad_brick3(x, g, CFG, interpret=True,
+                                      exact=True)
     np.testing.assert_allclose(
         np.asarray(grad), np.asarray(ref_grad), rtol=1e-5, atol=1e-6
     )
 
 
-def test_fused_custom_vjp_f16_packed():
+def test_fused_custom_vjp_bf16_kernel():
     table, x = _data(n=300)
     g = jax.random.normal(jax.random.PRNGKey(4), (300, CFG.out_dim))
 
@@ -117,7 +116,7 @@ def test_fused_custom_vjp_f16_packed():
         )
 
     ref_grad = jax.grad(ref_loss)(table)
-    # f16-packed payloads: ~3 decimal digits per update
+    # fast path: f32 sort payloads, bf16 V rows in the window matmul
     np.testing.assert_allclose(
         np.asarray(grad), np.asarray(ref_grad), rtol=3e-2, atol=3e-2
     )
@@ -145,7 +144,7 @@ def test_unsorted_stream_still_exact():
     g = jax.random.normal(jax.random.PRNGKey(5), (256, CFG.out_dim))
     key, v = _bwd_streams3(x, g.astype(jnp.float32), CFG)
     raw = sorted_table_grad_brick3(          # NOT sorted
-        key, tuple(v), CFG.table_size, interpret=True, exact=True
+        key, v, CFG.table_size, interpret=True, exact=True
     )
 
     def ref_loss(t):
