@@ -98,12 +98,22 @@ def main():
     gate_params = init_ray_gate(jax.random.PRNGKey(1), cfg.n_experts)
     state = init_mngp_state(cfg)
 
-    # occupancy: sphere of radius 0.3 in a 0.5-scale box (like a converged
-    # synthetic-scene grid: ~11% cells occupied)
+    # occupancy: spherical SHELL (r in [0.26, 0.30]) in a 0.5-scale box.
+    # A converged opaque-object grid is shell-like, not solid: interior
+    # cells receive no gradient (all training rays terminate at the
+    # surface) and the EMA-decay density update prunes them, so the
+    # per-ray march crosses ~2 shell thicknesses (~40-60 dt_min steps),
+    # matching the ~tens-of-samples/ray regime of real converged scenes
+    # (and of the 3090 proxy baseline). A SOLID sphere made every
+    # centered ray collect ~350 lattice samples — a regime no converged
+    # scene exhibits — and drove the honest budget fixpoint to the
+    # ladder top (192), benchmarking a load the reference trainer never
+    # sees either.
     g = args.grid
     lin = (np.arange(g) + 0.5) / g * 2 - 1
     xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
-    sphere = (np.sqrt(xx**2 + yy**2 + zz**2) * cfg.scale) < 0.3
+    r = np.sqrt(xx**2 + yy**2 + zz**2) * cfg.scale
+    sphere = (r < 0.3) & (r > 0.26)
     occ = np.broadcast_to(
         sphere[None, None], (cfg.n_experts, cfg.cascades, g, g, g)
     )

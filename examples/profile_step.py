@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--budget_per_ray", type=int, default=48)
     ap.add_argument("--impl", type=str, default="dedup")
+    ap.add_argument("--union_factor", type=float, default=1.0)
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -59,6 +60,10 @@ def main():
     rcfg = RenderConfig(
         samples_per_ray=192, layout="flat",
         budget_per_ray=args.budget_per_ray,
+        # mirror bench.py's adaptive-budget semantics: the adopted bucket
+        # governs the union stream directly (factor 1.0), not the
+        # quality-safe auto-K doubling applied to fixed budgets
+        union_budget_factor=args.union_factor,
     )
     params = init_mngp(jax.random.PRNGKey(0), cfg)
     gate_params = init_ray_gate(jax.random.PRNGKey(1), cfg.n_experts)
@@ -66,7 +71,9 @@ def main():
     g = 128
     lin = (np.arange(g) + 0.5) / g * 2 - 1
     xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
-    sphere = (np.sqrt(xx**2 + yy**2 + zz**2) * cfg.scale) < 0.3
+    # shell occupancy, matching bench.py (converged grids are shell-like)
+    rr = np.sqrt(xx**2 + yy**2 + zz**2) * cfg.scale
+    sphere = (rr < 0.3) & (rr > 0.26)
     occ = np.broadcast_to(
         sphere[None, None], (cfg.n_experts, cfg.cascades, g, g, g)
     )

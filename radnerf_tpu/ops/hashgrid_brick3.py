@@ -334,69 +334,66 @@ def _make_brick3_kernel(exact: bool):
     prec = jax.lax.Precision.HIGHEST if exact else None
 
     def _brick3_scatter_kernel(
-        skw_ref, g0w_ref, g1w_ref, skc_ref, fxc, fyc, fzc, out_ref, m_s
+        skw_ref, g0w_ref, g1w_ref, fxw_ref, fyw_ref, fzw_ref, out_ref, m_s
     ):
         """Accumulate one (level, tile) block of sorted cube updates.
 
-        Phase 1 builds the per-entry trilinear STENCIL rows m[e, lane] =
-        ax * ay * az into VMEM scratch from the AXIS-FACTORED form: ax
-        compares the lane's static cube x-coordinate (lane % 5) against
-        the entry's base (lane0_e % 5) — six compares per element vs
-        the round-4 design's 16 corner-offset selects, and no HBM V
-        materialization (an XLA-side build measured ~50 ms at 16 x 524k
-        from the forced (L, n, 128) round-trip). The output gradients
-        g_f never enter the scratch: they scale the one-hot's COLUMNS
-        in phase 2 (out = (onehT * g_f^T) @ m), so one stencil serves
-        both features.
+        Phase 1 builds the per-entry trilinear stencil TRANSPOSED --
+        m_T[lane, e] = ax * ay * az, out-lanes on SUBLANES and entries
+        on LANES -- in ONE set of (128, TILE) VPU ops straight from the
+        wide (1, TILE) inputs. The previous design built it row-major in
+        8 sub-iterations of (128, 128) ops because the entry axis had
+        to sit on sublanes; that needed four extra column-layout inputs
+        (XLA relayout copies, ~2.7 ms/step at bench shapes) and 8x the
+        op dispatches. The output gradients g_f never enter the
+        stencil: they scale the one-hot's columns in phase 2, so one
+        stencil serves both features.
 
-        skw/g0w/g1w_ref: (1, 1, 1, TILE) — keys + the two feature
-                 output-gradients, entry axis on LANES.
-        skc / fxc / fyc / fzc: (1, 1, LANES, TILE_SUB) — keys and the
-                 trilinear fractions in COLUMN layout: entry axis on
-                 sublanes, no in-kernel relayout (measured hazard).
-        out_ref: (1, 2*rows_pad, LANES) f32 — two stacked feature slabs.
-        m_s: (TILE, LANES) scratch — the built stencil rows.
+        skw/g0w/g1w/fxw/fyw/fzw_ref: (1, 1, 1, TILE) wide -- sorted
+                 flat keys (row*128+lane0), the two feature
+                 output-gradients and the three trilinear fractions,
+                 entry axis on LANES.
+        out_ref: (1, 2*rows_pad, LANES) f32 -- two stacked feature slabs.
+        m_s: (LANES, TILE) scratch -- the TRANSPOSED stencil.
 
         Phase 2 scatters whole windows with ONE big g-scaled one-hot
-        matmul (WSPAN, TILE) @ (TILE, 128) per feature per window.
-        Window span uses MIN/MAX of the tile's rows, so correctness
-        never depends on the stream being sorted — sorting only keeps
-        the span (and so the window walk) short."""
+        matmul (WSPAN, TILE) x m_T^T per feature per window (the
+        dot_general contracts both operands on their LANES axis, which
+        the MXU consumes without a relayout). Window span uses MIN/MAX
+        of the tile's rows, so correctness never depends on the stream
+        being sorted -- sorting only keeps the span short."""
         @pl.when(pl.program_id(1) == 0)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
         rows_pad = out_ref.shape[1] // 2
         tile = skw_ref.shape[3]
-        # static per-lane cube coordinates of each target lane
-        ll = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        # static per-SUBLANE cube coordinates of each target lane
+        ll = jax.lax.broadcasted_iota(jnp.int32, (LANES, tile), 0)
         lxl = ll % PLANE
         lyl = (ll // PLANE) % PLANE
         lzl = ll // (PLANE * PLANE)
 
-        for s in range(TILE_SUB):
-            lane0 = (skc_ref[0, 0, :, s] & 127).reshape(LANES, 1)
-            lx0 = lane0 % PLANE
-            ly0 = (lane0 // PLANE) % PLANE
-            lz0 = lane0 // (PLANE * PLANE)
-            fxv = fxc[0, 0, :, s].reshape(LANES, 1)
-            fyv = fyc[0, 0, :, s].reshape(LANES, 1)
-            fzv = fzc[0, 0, :, s].reshape(LANES, 1)
-            ax = jnp.where(
-                lxl == lx0, 1.0 - fxv,
-                jnp.where(lxl == lx0 + 1, fxv, 0.0),
-            )
-            ay = jnp.where(
-                lyl == ly0, 1.0 - fyv,
-                jnp.where(lyl == ly0 + 1, fyv, 0.0),
-            )
-            az = jnp.where(
-                lzl == lz0, 1.0 - fzv,
-                jnp.where(lzl == lz0 + 1, fzv, 0.0),
-            )
-            m_s[pl.ds(s * LANES, LANES), :] = (ax * ay * az).astype(
-                mdtype
-            )
+        lane0 = skw_ref[0, 0, :, :] & 127           # (1, TILE)
+        lx0 = lane0 % PLANE
+        ly0 = (lane0 // PLANE) % PLANE
+        lz0 = lane0 // (PLANE * PLANE)
+        fxv = fxw_ref[0, 0, :, :]                   # (1, TILE)
+        fyv = fyw_ref[0, 0, :, :]
+        fzv = fzw_ref[0, 0, :, :]
+        ax = jnp.where(
+            lxl == lx0, 1.0 - fxv,
+            jnp.where(lxl == lx0 + 1, fxv, 0.0),
+        )
+        ay = jnp.where(
+            lyl == ly0, 1.0 - fyv,
+            jnp.where(lyl == ly0 + 1, fyv, 0.0),
+        )
+        az = jnp.where(
+            lzl == lz0, 1.0 - fzv,
+            jnp.where(lzl == lz0 + 1, fzv, 0.0),
+        )
+        m_s[...] = (ax * ay * az).astype(mdtype)
 
         row_e = skw_ref[0, 0, :, :] >> 7            # (1, TILE)
         g0w = g0w_ref[0, 0, :, :]                   # (1, TILE)
@@ -413,7 +410,7 @@ def _make_brick3_kernel(exact: bool):
             for gw, off in ((g0w, 0), (g1w, rows_pad)):
                 onehg = jnp.where(hit, gw, 0.0).astype(mdtype)
                 contrib = jax.lax.dot_general(
-                    onehg, m_s[...], (((1,), (0,)), ((), ())),
+                    onehg, m_s[...], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )                                   # (WSPAN, 128)
@@ -465,24 +462,14 @@ def sorted_table_grad_brick3(
     n_tiles = n_pad // TILE
     rows_pad = R + WSPAN
 
-    # column layout: per-tile entry axis on sublanes (the kernel builds
-    # V rows without any in-kernel relayout or transpose)
     vdtype = jnp.float32 if exact else jnp.bfloat16
-    shape4 = (L, n_tiles, TILE_SUB, LANES)
 
-    def cols(a):
-        return a.reshape(shape4).swapaxes(2, 3)
+    def wide(a):
+        return a.reshape(L, n_tiles, 1, TILE)
 
     fx, fy, fz, g0, g1 = vals
-    skw = sk.reshape(L, n_tiles, 1, TILE)
-    g0w = g0.reshape(L, n_tiles, 1, TILE)
-    g1w = g1.reshape(L, n_tiles, 1, TILE)
     wide_spec = pl.BlockSpec(
         (1, 1, 1, TILE), lambda l, p: (l, p, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    col_spec = pl.BlockSpec(
-        (1, 1, LANES, TILE_SUB), lambda l, p: (l, p, 0, 0),
         memory_space=pltpu.VMEM,
     )
     slab = pl.pallas_call(
@@ -490,19 +477,19 @@ def sorted_table_grad_brick3(
         out_shape=jax.ShapeDtypeStruct((L, 2 * rows_pad, LANES),
                                        jnp.float32),
         grid=(L, n_tiles),
-        in_specs=[wide_spec] * 3 + [col_spec] * 4,
+        in_specs=[wide_spec] * 6,
         out_specs=pl.BlockSpec(
             (1, 2 * rows_pad, LANES), lambda l, p: (l, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((TILE, LANES), vdtype),
+            pltpu.VMEM((LANES, TILE), vdtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(skw, g0w, g1w, cols(sk), cols(fx), cols(fy), cols(fz))
+    )(wide(sk), wide(g0), wide(g1), wide(fx), wide(fy), wide(fz))
     slab = slab.reshape(L, 2, rows_pad, LANES)[:, :, :R, :]
     return jnp.moveaxis(slab, 1, -1).reshape(L, T, 2)
 

@@ -440,8 +440,20 @@ def march_rays_union_flat(
         cfg, samples_per_ray=cfg.samples_per_ray * cap_scale
     )
     m, flat_sel = _compact_flat_from_keep(t, dt, keep, cfg_u, budget_per_ray)
-    sel_dt = jnp.take(dt.reshape(-1), flat_sel)
-    sel_xyz = jnp.take(xyz.reshape(-1, 3), flat_sel, axis=0)
+    if cfg.exp_step_factor == 0.0:
+        # constant-dt lattice: recompute sample positions from the compacted
+        # ts instead of gathering them out of the (N*K, 3) candidate array
+        # (a 4 MB-source scalar gather measured ~2 ms/step at bench shapes);
+        # the o/d takes below CSE with ml_render's own xyz reconstruction.
+        sel_dt = jnp.full(m["ts"].shape, cfg.dt_min, jnp.float32)
+        rid = m["ray_id"]
+        sel_xyz = (
+            jnp.take(rays_o, rid, axis=0)
+            + m["ts"][:, None] * jnp.take(rays_d, rid, axis=0)
+        )
+    else:
+        sel_dt = jnp.take(dt.reshape(-1), flat_sel)
+        sel_xyz = jnp.take(xyz.reshape(-1, 3), flat_sel, axis=0)
     member = jax.vmap(
         lambda occ: occupancy_lookup(sel_xyz, sel_dt, occ, cfg)
     )(occ_grids) & m["valid"][None, :]
@@ -490,28 +502,39 @@ def _compact_flat_from_keep(t, dt, keep, cfg, budget_per_ray):
 
     # candidate index of each ray's i-th kept sample, via ONE per-ray sort
     # (kept candidates keep their order; non-kept sort to the tail) —
-    # replaces a log2(K)-round binary search (11 x B gathers at K=1024)
+    # replaces a log2(K)-round binary search (11 x B gathers at K=1024).
+    # t rides as a sort payload so the per-slot gathers below read from the
+    # cap-sliced (N, Sc) arrays (a few MB) instead of the (N*K,) candidate
+    # arrays (16 MB at bench shapes — measured 3-4x slower per issue).
     slot_rank = jnp.where(keep, within - 1, K)
-    _, k_sorted = jax.lax.sort(
+    _, k_sorted, t_sorted = jax.lax.sort(
         (slot_rank,
-         jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (N, K))),
+         jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (N, K)),
+         t),
         dimension=-1, num_keys=1, is_stable=False,
     )
-    k_sel = jnp.take(
-        k_sorted.reshape(-1),
-        ray_id * K + jnp.minimum(within_idx, K - 1),
-    )
+    Sc = min(K, cfg.samples_per_ray)   # per-ray cap bounds within_idx
+    wi = jnp.minimum(within_idx, Sc - 1)
+    k_sel = jnp.take(k_sorted[:, :Sc].reshape(-1), ray_id * Sc + wi)
     k_sel = jnp.minimum(k_sel, K - 1)
 
     flat = ray_id * K + k_sel
     # stop_gradient: composite grads go to sigmas/rgbs only (see
     # _compact_keep) — otherwise the take's transpose is a scatter-add
     ts = jax.lax.stop_gradient(
-        jnp.where(valid, jnp.take(t.reshape(-1), flat), 0.0)
+        jnp.where(
+            valid,
+            jnp.take(t_sorted[:, :Sc].reshape(-1), ray_id * Sc + wi),
+            0.0,
+        )
     )
-    deltas = jax.lax.stop_gradient(
-        jnp.where(valid, jnp.take(dt.reshape(-1), flat), 0.0)
-    )
+    if cfg.exp_step_factor == 0.0:
+        # constant-dt lattice: no per-sample step-size gather needed
+        deltas = jnp.where(valid, jnp.float32(cfg.dt_min), 0.0)
+    else:
+        deltas = jax.lax.stop_gradient(
+            jnp.where(valid, jnp.take(dt.reshape(-1), flat), 0.0)
+        )
     return {
         "ts": ts,
         "deltas": deltas,
