@@ -91,65 +91,34 @@ def build_step(args):
     return step, bundle, opt_state
 
 
-def parse_xplanes(logdir):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+def parse_xplanes(logdir, steps):
+    import json
+
+    from xprof.convert import raw_to_tool_data as rtd
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
-    agg = collections.Counter()          # (op_display) -> ps
-    src = {}
-    total_ps = 0
-    for p in paths:
-        xs = xplane_pb2.XSpace()
-        with open(p, "rb") as f:
-            xs.ParseFromString(f.read())
-        for plane in xs.planes:
-            if "TPU" not in plane.name and "Device" not in plane.name:
-                continue
-            if "SparseCore" in plane.name:
-                continue
-            emeta = plane.event_metadata
-            stat_meta = plane.stat_metadata
-            for line in plane.lines:
-                lname = line.name.lower()
-                # XLA op lines carry per-HLO events; skip step/annotation
-                if "xla op" not in lname and "ops" != lname:
-                    continue
-                for ev in line.events:
-                    md = emeta[ev.metadata_id]
-                    name = md.name
-                    agg[name] += ev.duration_ps
-                    total_ps += ev.duration_ps
-                    if name not in src:
-                        for st in list(md.stats):
-                            sm = stat_meta[st.metadata_id].name
-                            if sm in ("source", "source_info",
-                                      "tf_op", "source_stack"):
-                                src[name] = (
-                                    st.str_value
-                                    or stat_meta[st.ref_value].name
-                                )
-                                break
-    return agg, src, total_ps
-
-
-def rollup(agg, src, total_ps, steps):
-    # per-op table
-    print(f"\n== top HLO ops (total device {total_ps/1e12*1000:.1f} ms "
-          f"over {steps} steps; per-step ms shown) ==")
-    for name, ps in agg.most_common(45):
-        s = src.get(name, "")
-        print(f"{ps/1e12*1000/steps:8.3f} ms  {name[:72]:72s} {s[:60]}")
-    # source-file rollup
-    by_file = collections.Counter()
-    for name, ps in agg.items():
-        s = src.get(name, "")
-        m = re.search(r"([\w_/]+\.py):?(\d+)?", s)
-        key = m.group(1).split("/")[-1] if m else "(no source)"
-        by_file[key] += ps
-    print("\n== per-source-file rollup (per-step ms) ==")
-    for f, ps in by_file.most_common(25):
-        print(f"{ps/1e12*1000/steps:8.3f} ms  {f}")
+    data, _ = rtd.xspace_to_tool_data(paths, "hlo_stats", {})
+    d = json.loads(data.decode() if isinstance(data, bytes) else data)
+    cols = [c["id"] for c in d["cols"]]
+    ix = {k: cols.index(k) for k in (
+        "category", "hlo_op_name", "tf_op_name", "total_self_time",
+        "occurrences", "hlo_op_expression")}
+    rows = [[c["v"] for c in r["c"]] for r in d["rows"]]
+    rows.sort(key=lambda r: -r[ix["total_self_time"]])
+    tot = sum(r[ix["total_self_time"]] for r in rows)
+    print(f"\n== total device {tot/1000/steps:.1f} ms/step; top HLO ops ==")
+    for r in rows[:40]:
+        expr = (r[ix["hlo_op_expression"]] or "")[:80].replace("\n", " ")
+        print(f'{r[ix["total_self_time"]]/1000/steps:7.2f} ms '
+              f'x{int(r[ix["occurrences"]]):4d} '
+              f'{r[ix["category"]][:16]:16s} {expr}')
+    by_src = collections.Counter()
+    for r in rows:
+        by_src[r[ix["tf_op_name"]] or "(none)"] += r[ix["total_self_time"]]
+    print("\n== by framework op path ==")
+    for s, us in by_src.most_common(30):
+        print(f"{us/1000/steps:8.2f} ms  {s[:140]}")
 
 
 def main():
@@ -182,19 +151,7 @@ def main():
     print(f"# traced {args.steps} steps in {wall:.2f}s "
           f"({wall/args.steps*1e3:.1f} ms/step wall)", flush=True)
 
-    agg, src, total_ps = parse_xplanes(logdir)
-    if not agg:
-        print("no device events parsed; planes present:", flush=True)
-        from tensorflow.core.profiler.protobuf import xplane_pb2
-        for p in glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                           recursive=True):
-            xs = xplane_pb2.XSpace()
-            xs.ParseFromString(open(p, "rb").read())
-            for plane in xs.planes:
-                print("  plane:", plane.name,
-                      "lines:", [ln.name for ln in plane.lines][:8])
-        return
-    rollup(agg, src, total_ps, args.steps)
+    parse_xplanes(logdir, args.steps)
 
 
 if __name__ == "__main__":

@@ -147,9 +147,11 @@ def _corner_weights(frac_l):
     )
 
 
-RUN_BLOCK = 512      # samples per run-dedup block
+RUN_BLOCK = 1024     # samples per run-dedup block
 RUN_SLACK = 64       # extra runs allowed per block (ray/segment bounds)
 RUN_MAX_FRAC = 0.55  # dedup a level only when U <= this fraction of W
+EXTRACT_GBLK = 8     # run-blocks per extract-kernel grid step (the
+                     # Pallas block's sublane dim must be 8-divisible)
 
 
 def _run_cap(res: int, block: int) -> int:
@@ -161,7 +163,7 @@ def _run_cap(res: int, block: int) -> int:
     sqrt(3) / max_samples, max_samples 1024). +RUN_SLACK covers ray /
     segment boundaries inside a block and the tail pad. Streams that
     break the assumption (coarser-than-dt_min spacing, random points)
-    overflow into the exact lax.cond fallback — never wrong, only
+    overflow into the exact lax.cond fallback -- never wrong, only
     slower."""
     import math
 
@@ -169,23 +171,178 @@ def _run_cap(res: int, block: int) -> int:
     return min(block, (u + 7) // 8 * 8)
 
 
+def _stencil_T(lane0, fxv, fyv, fzv, tile: int, dtype,
+               exact: bool = False):
+    """Transposed trilinear stencil m_T[lane, e] = ax * ay * az of shape
+    (LANES, tile), entries on LANES -- buildable straight from wide
+    (1, tile) inputs with no relayout.
+
+    Fast path (exact=False): MXU-factored build. The xy part has only
+    25 meaningful lane-column classes (lane % 25) and the z part 5
+    (lane // 25), so instead of 14 VPU passes over (LANES, tile) it
+    builds a 4-hot (32, tile) xy-weight matrix and a 2-hot (8, tile)
+    z-weight matrix (~25x/16x fewer elements) and expands both through
+    static one-hot bf16 matmuls Pxy (LANES, 32) / Pz (LANES, 8). Lanes
+    125-127 map to z-class 5 whose weight row is identically zero, so
+    the 3 unused lanes vanish automatically. The weights pass through
+    bf16 (one rounding vs the f32 build; the features are bf16 anyway).
+    An f32 Precision.HIGHEST variant measured SLOWER than the plain VPU
+    build (6-pass f32 matmuls at K=32 stall the MXU), hence bf16-or-VPU.
+
+    Exact path: direct (LANES, tile) f32 VPU build, bit-identical to
+    (wx * wy) * wz -- the golden-test reference."""
+    P2 = PLANE * PLANE
+    lz0 = lane0 // P2
+    if exact:
+        lxy = jax.lax.broadcasted_iota(jnp.int32, (LANES, tile), 0) % P2
+        lzl = (
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, tile), 0) // P2
+        )
+        lx = lxy % PLANE
+        ly = lxy // PLANE
+        lx0 = lane0 % PLANE
+        ly0 = (lane0 // PLANE) % PLANE
+        ax = jnp.where(
+            lx == lx0, 1.0 - fxv, jnp.where(lx == lx0 + 1, fxv, 0.0)
+        )
+        ay = jnp.where(
+            ly == ly0, 1.0 - fyv, jnp.where(ly == ly0 + 1, fyv, 0.0)
+        )
+        az = jnp.where(
+            lzl == lz0, 1.0 - fzv, jnp.where(lzl == lz0 + 1, fzv, 0.0)
+        )
+        return ((ax * ay) * az).astype(dtype)
+
+    lxy0 = lane0 % P2                                # (1, tile)
+    w00 = (1.0 - fxv) * (1.0 - fyv)
+    w10 = fxv * (1.0 - fyv)
+    w01 = (1.0 - fxv) * fyv
+    w11 = fxv * fyv
+    # masks are built against f32 operands (i1 relayout between f32 and
+    # bf16 tilings does not compile in Mosaic); the bf16 cast AFTER the
+    # disjoint-hot sum rounds exactly one weight per position, identical
+    # to quantizing the weights first
+    c32 = jax.lax.broadcasted_iota(jnp.int32, (32, tile), 0)
+    axy = (
+        jnp.where(c32 == lxy0, w00, 0.0)
+        + jnp.where(c32 == lxy0 + 1, w10, 0.0)
+        + jnp.where(c32 == lxy0 + PLANE, w01, 0.0)
+        + jnp.where(c32 == lxy0 + PLANE + 1, w11, 0.0)
+    ).astype(jnp.bfloat16)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, tile), 0)
+    az = jnp.where(
+        c8 == lz0, 1.0 - fzv, jnp.where(c8 == lz0 + 1, fzv, 0.0)
+    ).astype(jnp.bfloat16)
+    pxy = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, 32), 0) % P2
+        == jax.lax.broadcasted_iota(jnp.int32, (LANES, 32), 1)
+    ).astype(jnp.bfloat16)
+    pz = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, 8), 0) // P2
+        == jax.lax.broadcasted_iota(jnp.int32, (LANES, 8), 1)
+    ).astype(jnp.bfloat16)
+    m = jax.lax.dot_general(
+        pxy, axy, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * jax.lax.dot_general(
+        pz, az, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return m.astype(dtype)
+
+
+def _make_extract_kernel(U: int, G: int, exact: bool):
+    """Fused runs-mode forward extraction: per run-block, broadcast the
+    U deduped table rows to samples with ONE one-hot MXU matmul and
+    contract against the transposed stencil -- replacing the XLA
+    broadcast einsum + (N, 128) weighted multi-hot reduction (which
+    together were ~30 ms/step at bench shapes; the (B, 128) VPU passes
+    were nearly half the encode forward)."""
+    hdtype = jnp.float32 if exact else jnp.bfloat16
+    hprec = jax.lax.Precision.HIGHEST if exact else None
+
+    def kernel(rows_ref, rank_ref, lane0_ref, fx_ref, fy_ref, fz_ref,
+               out0_ref, out1_ref):
+        W = rank_ref.shape[1]
+        for i in range(G):
+            m_T = _stencil_T(
+                lane0_ref[pl.ds(i, 1), :],
+                fx_ref[pl.ds(i, 1), :],
+                fy_ref[pl.ds(i, 1), :],
+                fz_ref[pl.ds(i, 1), :],
+                W, jnp.float32, exact=exact,
+            )                                        # (LANES, W) f32
+            hot = (
+                jax.lax.broadcasted_iota(jnp.int32, (U, W), 0)
+                == rank_ref[pl.ds(i, 1), :]
+            ).astype(hdtype)                         # (U, W)
+            lo, hi = _unpack_bf16(rows_ref[i, :, :])  # (U, 128) bf16
+            for src, out_ref in ((lo, out0_ref), (hi, out1_ref)):
+                # R_T[lane, e] = row value of e's run: one-hot x bf16,
+                # every product exact, f32 accumulation
+                r_t = jax.lax.dot_general(
+                    src.astype(hdtype), hot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=hprec,
+                )                                    # (LANES, W)
+                out_ref[pl.ds(i, 1), :] = jnp.sum(
+                    m_T * r_t, axis=0, keepdims=True
+                )
+        return
+
+    return kernel
+
+
+def _extract_runs_pallas(rows, rank, lane0, fx, fy, fz, U: int,
+                         interpret: bool, exact: bool = False):
+    """rows (nb, U, LANES) u32; rank/lane0 (nb, W) i32; fx/fy/fz (nb, W)
+    f32. Returns two (nb, W) f32 feature planes. nb must be a multiple
+    of EXTRACT_GBLK (the forward pads the sample stream accordingly)."""
+    nb, W = rank.shape
+    G = EXTRACT_GBLK
+    assert nb % G == 0
+    row_spec = pl.BlockSpec(
+        (G, U, LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    wide_spec = pl.BlockSpec(
+        (G, W), lambda b: (b, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_extract_kernel(U, G, exact),
+        out_shape=[jax.ShapeDtypeStruct((nb, W), jnp.float32)] * 2,
+        grid=(nb // G,),
+        in_specs=[row_spec] + [wide_spec] * 5,
+        out_specs=[wide_spec] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rows, rank, lane0, fx, fy, fz)
+    return out
+
+
 def hashgrid_encode_brick3_fwd_impl(
     table: jnp.ndarray,
     x: jnp.ndarray,
     cfg: HashGridConfig,
     fw_mode: str = "runs",
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Non-differentiable cube-brick forward. Returns (N, L*F)
     bf16-accurate features (level-major).
 
     fw_mode 'plain': ONE row gather per (level, point).
-    fw_mode 'runs':  per-block run-length dedup of the row stream —
+    fw_mode 'runs':  per-block run-length dedup of the row stream --
         consecutive samples share cube rows (~4 cells per patch axis),
-        so only run representatives gather; rows broadcast back through
-        an exact bf16 one-hot MXU matmul (one-hot x bf16 row values —
-        every product exact). Levels whose static run cap exceeds
-        RUN_MAX_FRAC of the block stay on the plain gather; a level
-        whose stream overflows its cap falls back via lax.cond."""
+        so only run representatives gather; rows broadcast back to
+        samples inside the fused Pallas extract kernel (exact one-hot
+        bf16 MXU matmul + MXU-factored stencil contraction). Levels
+        whose static run cap exceeds RUN_MAX_FRAC of the block stay on
+        the plain gather; a level whose stream overflows its cap falls
+        back via lax.cond (identical values up to f32 summation
+        order)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     L, T, F = table.shape
     assert F == 2
     N = x.shape[0]
@@ -198,8 +355,15 @@ def hashgrid_encode_brick3_fwd_impl(
     lanes = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
 
     W_blk = RUN_BLOCK
-    pad = (-N) % W_blk
+    pad = (-N) % (W_blk * EXTRACT_GBLK)
     n_blocks = (N + pad) // W_blk
+
+    def pad_tail(a):
+        if not pad:
+            return a
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])]
+        )
 
     out0, out1 = [], []
     for a in addrs:
@@ -217,21 +381,30 @@ def hashgrid_encode_brick3_fwd_impl(
             and U <= int(W_blk * RUN_MAX_FRAC)
             and N >= W_blk
         )
+
+        def extract_xla(lo, hi, lane0=lane0, w8=w8):
+            # weighted 8-hot over the corner lanes -- dense VPU
+            W = jnp.zeros((N, LANES), jnp.float32)
+            d = lanes - lane0[:, None]
+            for wc, off in zip(w8, _OFFS3):
+                W = W + jnp.where(d == off, wc[:, None], 0.0)
+            return jnp.sum(W * lo, axis=1), jnp.sum(W * hi, axis=1)
+
         if use_runs:
-            rp = r
-            if pad:
-                rp = jnp.concatenate(
-                    [rp, jnp.broadcast_to(rp[-1:], (pad,))]
-                )
-            rb = rp.reshape(n_blocks, W_blk)
+            rb = pad_tail(r).reshape(n_blocks, W_blk)
             new = jnp.concatenate(
                 [jnp.ones_like(rb[:, :1], jnp.bool_),
                  rb[:, 1:] != rb[:, :-1]], axis=1,
             )
             rank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
             nruns = rank[:, -1] + 1
+            lane0b = pad_tail(lane0).reshape(n_blocks, W_blk)
+            fxb = pad_tail(frac[a.level, 0]).reshape(n_blocks, W_blk)
+            fyb = pad_tail(frac[a.level, 1]).reshape(n_blocks, W_blk)
+            fzb = pad_tail(frac[a.level, 2]).reshape(n_blocks, W_blk)
 
-            def dedup(_, rb=rb, new=new, rank=rank, U=U):
+            def dedup(_, rb=rb, new=new, rank=rank, U=U, lane0b=lane0b,
+                      fxb=fxb, fyb=fyb, fzb=fzb):
                 hot = (
                     rank[:, :, None]
                     == jax.lax.broadcasted_iota(
@@ -249,39 +422,27 @@ def hashgrid_encode_brick3_fwd_impl(
                 ).astype(jnp.int32)
                 rows = jnp.take(packed, urows.reshape(-1), axis=0)
                 rows = rows.reshape(n_blocks, U, LANES)
-                lo_u, hi_u = _unpack_bf16(rows)      # (B, U, 128) bf16
-                hotb = hot.astype(jnp.bfloat16)
-                # exact: one-hot x bf16 — each output is ONE product
-                lo_b = jnp.einsum(
-                    "bwu,bul->bwl", hotb, lo_u,
-                    preferred_element_type=jnp.float32,
+                o0, o1 = _extract_runs_pallas(
+                    rows, rank, lane0b, fxb, fyb, fzb, U, interpret
                 )
-                hi_b = jnp.einsum(
-                    "bwu,bul->bwl", hotb, hi_u,
-                    preferred_element_type=jnp.float32,
-                )
-                return (lo_b.reshape(-1, LANES)[:N],
-                        hi_b.reshape(-1, LANES)[:N])
+                return o0.reshape(-1)[:N], o1.reshape(-1)[:N]
 
-            def full(_, rb=rb):
-                g = jnp.take(packed, rb.reshape(-1), axis=0)
+            def full(_, r=r):
+                g = jnp.take(packed, r, axis=0)      # (N, 128) u32
                 lo_f, hi_f = _unpack_bf16(g)
-                return (lo_f.astype(jnp.float32)[:N],
-                        hi_f.astype(jnp.float32)[:N])
+                return extract_xla(
+                    lo_f.astype(jnp.float32), hi_f.astype(jnp.float32)
+                )
 
-            lo, hi = jax.lax.cond(jnp.any(nruns > U), full, dedup, None)
+            o0, o1 = jax.lax.cond(jnp.any(nruns > U), full, dedup, None)
         else:
             g = jnp.take(packed, r, axis=0)          # (N, 128) u32
             lo_b, hi_b = _unpack_bf16(g)
-            lo = lo_b.astype(jnp.float32)
-            hi = hi_b.astype(jnp.float32)
-        # weighted 8-hot over the corner lanes — dense VPU
-        W = jnp.zeros((N, LANES), jnp.float32)
-        d = lanes - lane0[:, None]
-        for wc, off in zip(w8, _OFFS3):
-            W = W + jnp.where(d == off, wc[:, None], 0.0)
-        out0.append(jnp.sum(W * lo, axis=1))
-        out1.append(jnp.sum(W * hi, axis=1))
+            o0, o1 = extract_xla(
+                lo_b.astype(jnp.float32), hi_b.astype(jnp.float32)
+            )
+        out0.append(o0)
+        out1.append(o1)
     p0 = jnp.stack(out0).astype(jnp.bfloat16)
     p1 = jnp.stack(out1).astype(jnp.bfloat16)
     return _cm_out(p0, p1)
@@ -368,32 +529,16 @@ def _make_brick3_kernel(exact: bool):
 
         rows_pad = out_ref.shape[1] // 2
         tile = skw_ref.shape[3]
-        # static per-SUBLANE cube coordinates of each target lane
-        ll = jax.lax.broadcasted_iota(jnp.int32, (LANES, tile), 0)
-        lxl = ll % PLANE
-        lyl = (ll // PLANE) % PLANE
-        lzl = ll // (PLANE * PLANE)
-
-        lane0 = skw_ref[0, 0, :, :] & 127           # (1, TILE)
-        lx0 = lane0 % PLANE
-        ly0 = (lane0 // PLANE) % PLANE
-        lz0 = lane0 // (PLANE * PLANE)
-        fxv = fxw_ref[0, 0, :, :]                   # (1, TILE)
-        fyv = fyw_ref[0, 0, :, :]
-        fzv = fzw_ref[0, 0, :, :]
-        ax = jnp.where(
-            lxl == lx0, 1.0 - fxv,
-            jnp.where(lxl == lx0 + 1, fxv, 0.0),
+        # transposed stencil via the MXU-factored build (see _stencil_T):
+        # replaces 14 VPU passes over (LANES, TILE) with ~1/16th the
+        # elementwise work plus two tiny one-hot matmuls
+        m_s[...] = _stencil_T(
+            skw_ref[0, 0, :, :] & 127,
+            fxw_ref[0, 0, :, :],
+            fyw_ref[0, 0, :, :],
+            fzw_ref[0, 0, :, :],
+            tile, mdtype, exact=exact,
         )
-        ay = jnp.where(
-            lyl == ly0, 1.0 - fyv,
-            jnp.where(lyl == ly0 + 1, fyv, 0.0),
-        )
-        az = jnp.where(
-            lzl == lz0, 1.0 - fzv,
-            jnp.where(lzl == lz0 + 1, fzv, 0.0),
-        )
-        m_s[...] = (ax * ay * az).astype(mdtype)
 
         row_e = skw_ref[0, 0, :, :] >> 7            # (1, TILE)
         g0w = g0w_ref[0, 0, :, :]                   # (1, TILE)
@@ -543,7 +688,9 @@ def _make_fused_brick3(cfg: HashGridConfig, interpret: bool,
                        fw_mode: str = "runs"):
     @jax.custom_vjp
     def fused(table, x):
-        return hashgrid_encode_brick3_fwd_impl(table, x, cfg, fw_mode)
+        return hashgrid_encode_brick3_fwd_impl(
+            table, x, cfg, fw_mode, interpret=interpret or None
+        )
 
     def fwd(table, x):
         return fused(table, x), (x, jnp.zeros((0,), table.dtype))

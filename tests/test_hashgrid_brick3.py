@@ -180,19 +180,35 @@ def test_runs_mode_matches_plain_on_ray_stream():
     x = _ray_stream()
     plain = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "plain")
     runs = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "runs")
-    np.testing.assert_array_equal(
-        np.asarray(plain, np.float32), np.asarray(runs, np.float32)
+    # near-exact: the fused extract kernel's fast path quantizes the
+    # trilinear stencil weights through bf16 (one rounding; outputs are
+    # bf16 anyway), so runs vs plain may differ by <= 1 output ulp
+    np.testing.assert_allclose(
+        np.asarray(plain, np.float32), np.asarray(runs, np.float32),
+        rtol=1e-2, atol=2e-3,
     )
 
 
 def test_runs_mode_random_points_fall_back_exactly():
-    """Spatially-random points overflow every level's run cap -> the
-    lax.cond fallback must reproduce the plain gather exactly."""
+    """Spatially-random points overflow the run caps of every level
+    except the coarsest (res 4: ~all points share ONE cube patch, so
+    the dedup path legitimately engages there) -> the lax.cond fallback
+    must reproduce the plain gather exactly on the overflowing levels
+    and within one bf16 stencil ulp on the dedup'd one."""
     table, x = _data(n=1024, seed=9)
-    plain = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "plain")
-    runs = hashgrid_encode_brick3_fwd_impl(table, x, CFG, "runs")
-    np.testing.assert_array_equal(
-        np.asarray(plain, np.float32), np.asarray(runs, np.float32)
+    plain = np.asarray(
+        hashgrid_encode_brick3_fwd_impl(table, x, CFG, "plain"),
+        np.float32,
+    )
+    runs = np.asarray(
+        hashgrid_encode_brick3_fwd_impl(table, x, CFG, "runs"),
+        np.float32,
+    )
+    # levels 1..5 overflow -> exact fallback; level 0 (cols 0,1 in the
+    # level-major layout) runs the fused dedup kernel -> <= 1 ulp
+    np.testing.assert_array_equal(plain[:, 2:], runs[:, 2:])
+    np.testing.assert_allclose(
+        plain[:, :2], runs[:, :2], rtol=1e-2, atol=2e-3
     )
 
 
