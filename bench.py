@@ -156,7 +156,7 @@ def main():
         # the budget the quality-governed trainer would actually run at
         buckets = tuple(sorted(
             set(BUDGET_BUCKETS)
-            | {b * k for b in (64, 96) for k in range(2, args.experts + 1)}
+            | {b * k for b in (64, 80, 96) for k in range(2, args.experts + 1)}
         ))
 
         pb = make_batch(999, min(args.batch, 2048))

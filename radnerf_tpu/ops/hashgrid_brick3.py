@@ -71,6 +71,9 @@ _FMIX = np.uint32(0x85EBCA6B)
 TILE_SUB = 8
 TILE = TILE_SUB * LANES       # sorted entries per kernel tile
 WSPAN = 128                   # table rows per window add
+SKIP_SORT_ROWS = 1536         # levels whose padded slab fits this many
+                              # rows skip the backward sort (window
+                              # kernel is span-exact on unsorted input)
 
 # corner lane offsets, (dz, dy, dx)-minor order: off = dx + 5 dy + 25 dz
 _OFFS3 = tuple(
@@ -672,11 +675,33 @@ def hashgrid_table_grad_brick3(
     Sorts (key, fx, fy, fz, g0, g1) — raw f32 payloads, no f16 packing
     or loss-scaling (payload count does not change TPU sort cost, and
     the axis-factored V build never materializes corner products).
+
+    Coarse DENSE levels (few table rows) skip the sort entirely: the
+    window kernel spans MIN/MAX of each tile's rows, so unsorted
+    streams are exact — they just walk more windows, and for a level
+    whose whole slab is <= SKIP_SORT_ROWS rows the extra window matmuls
+    cost far less than its share of the batched (L, n) bitonic sort
+    (~1.2 ms/level at bench shapes).
+
     `exact` keeps f32 matmul operands in the window kernel (tests)."""
     key, v = _bwd_streams3(x, g, cfg)
-    sk, *sv = jax.lax.sort(
-        (key, *v), dimension=-1, num_keys=1, is_stable=False
-    )
+    rows_per_level = [a.rows for a in brick3_addrs(cfg)]
+    # resolutions grow monotonically, so the skip set is a prefix
+    ls = sum(1 for r in rows_per_level if r + WSPAN <= SKIP_SORT_ROWS)
+    if 0 < ls < cfg.n_levels:
+        sk_hi, *sv_hi = jax.lax.sort(
+            (key[ls:], *(p[ls:] for p in v)),
+            dimension=-1, num_keys=1, is_stable=False,
+        )
+        sk = jnp.concatenate([key[:ls], sk_hi])
+        sv = [
+            jnp.concatenate([p[:ls], ph])
+            for p, ph in zip(v, sv_hi)
+        ]
+    else:
+        sk, *sv = jax.lax.sort(
+            (key, *v), dimension=-1, num_keys=1, is_stable=False
+        )
     return sorted_table_grad_brick3(
         sk, tuple(sv), cfg.table_size, interpret=interpret, exact=exact
     )

@@ -58,7 +58,11 @@ UPDATE_INTERVAL = 16  # train_ml.py:61
 # wastes encode work early or truncates late. The trainer re-picks the
 # bucket from measured buffer utilization at grid-update boundaries —
 # each bucket is one cached jit specialization.
-BUDGET_BUCKETS = (16, 24, 32, 48, 64, 96)
+# finer rungs (40/56/80/112) cut flat-buffer padding at unchanged
+# quality semantics: growth still triggers whenever the march saturates
+# (util > 0.95); a settled bucket just wastes less of the B-proportional
+# encode/backward/composite work on invalid tail slots
+BUDGET_BUCKETS = (16, 24, 32, 40, 48, 56, 64, 80, 96, 112)
 
 
 def next_budget_bucket(
@@ -172,7 +176,7 @@ class NeRFSystem:
         K_moe = hparams.model_zoo_size if self.moe else 1
         self._budget_buckets = tuple(sorted(
             set(BUDGET_BUCKETS)
-            | {b * k for b in (64, 96) for k in range(2, K_moe + 1)}
+            | {b * k for b in (64, 80, 96) for k in range(2, K_moe + 1)}
         ))
 
         cdt = getattr(hparams, "compute_dtype", "bfloat16")
