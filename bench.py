@@ -193,19 +193,23 @@ def main():
             return float(_p(pb["rays_o"], pb["rays_d"], pt1, pt2,
                             state["occ"], pnoise))
 
-        # walk the trainer's hysteresis to a MEASURED fixed point: the
-        # analytic inverse-scaling estimate seeds the walk, but each
-        # adopted bucket is confirmed by a real utilization probe, so
-        # the headline rays/s is measured at the budget the
-        # quality-governed trainer would actually settle at.
+        # ONE probe at the ladder top measures the un-truncated per-ray
+        # sample demand (util(top) * top); util at any bucket is then
+        # exactly min(1, demand / b) — the quantity the trainer's
+        # hysteresis sees — so the fixpoint walk runs analytically with
+        # no further march compiles (each probed bucket is a separate
+        # XLA specialization; this cut ~3 compiles from warmup).
+        top = buckets[-1]
+        demand = probe(top) * top
+        util_at = lambda bb: min(1.0, demand / bb)
         b = budget
-        u = util0 = probe(b)
+        u = util0 = util_at(b)
         for _ in range(len(buckets)):
             nb = next_budget_bucket(b, u, buckets)
             if nb == b:
                 break
             b = nb
-            u = probe(b)
+            u = util_at(b)
         if b != budget:
             print(f"# adaptive budget: util={util0:.2f} -> "
                   f"budget_per_ray {budget} -> {b} "

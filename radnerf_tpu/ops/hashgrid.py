@@ -293,11 +293,13 @@ def resolve_impl(impl: str) -> str:
     import jax
 
     # TPU backends register as 'tpu' or (via the axon relay) 'axon'.
-    # 'brick' = patch-row table layout: 2 row gathers per (level, point)
-    # + one-hot-MXU windowed backward — measured fastest (fw+bw 34 ms vs
-    # slab's 43 ms on the 98k-sample bench stream; bench.py 29.8k vs
-    # 17.9k rays/s) at equal fixture PSNR (docs/CONVERGENCE.md round 4).
-    return "brick" if jax.default_backend() != "cpu" else "xla"
+    # 'brick3' = cube-brick table layout: ONE row gather per (level,
+    # point), row-run dedup forward, fused Pallas extract + one-hot-MXU
+    # windowed backward — measured fastest (bench.py 47.9k vs the round-4
+    # xy-brick's 18.7k rays/s at the honest adaptive bucket) and AHEAD of
+    # brick on the full-scale hard-scene curve at matched steps
+    # (docs/CONVERGENCE.md round-5 row; docs/curves/hard_brick3_*).
+    return "brick3" if jax.default_backend() != "cpu" else "xla"
 
 
 def hash_family(impl: str) -> str:

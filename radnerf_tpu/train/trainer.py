@@ -771,7 +771,7 @@ class NeRFSystem:
         if not rec or hash_family(rec) == hash_family(self.cfg.hash_impl):
             return
         if (
-            hash_family(rec) in ("slab", "brick")
+            hash_family(rec) in ("slab", "brick", "brick3")
             and jnp.dtype(self.cfg.cdtype) != jnp.bfloat16
         ):
             # encode_dispatch silently falls back to the tcnn family for

@@ -279,3 +279,65 @@ class TestOccupancyRunDedup:
         full = occupancy_lookup(xyz, dt, occ, cfg)
         ded = occupancy_lookup_runs(xyz, dt, occ, cfg)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(ded))
+
+
+class TestOccupancyBricks:
+    def _stream(self, cfg, N, K, seed=3, occ_p=0.3):
+        rng = np.random.default_rng(seed)
+        G = cfg.grid_size
+        occ = jnp.asarray(rng.random((cfg.cascades, G, G, G)) < occ_p)
+        o = rng.normal(size=(N, 3))
+        o = o / np.linalg.norm(o, axis=1, keepdims=True) * 1.2
+        d = -o / np.linalg.norm(o, axis=1, keepdims=True)
+        t = 0.7 + np.arange(K) * cfg.dt_min
+        xyz = jnp.asarray(
+            o[:, None, :] + t[None, :, None] * d[:, None, :], jnp.float32
+        )
+        dt = jnp.full((N, K), cfg.dt_min, jnp.float32)
+        return occ, xyz, dt
+
+    def test_bricks_match_full_gather(self):
+        """occupancy_lookup_bricks is exact on a ray stream that engages
+        the brick-dedup kernel (N*Kp divisible by the extract grid)."""
+        from radnerf_tpu.ops.marching import (
+            occupancy_lookup, occupancy_lookup_bricks,
+        )
+
+        cfg = MarchConfig(scale=0.5, cascades=1, grid_size=64)
+        # N=32, K=256 -> Kp=256, nb=32: kernel path (OCC_GBLK=32)
+        occ, xyz, dt = self._stream(cfg, 32, 256)
+        full = occupancy_lookup(xyz, dt, occ, cfg)
+        got = occupancy_lookup_bricks(xyz, dt, occ, cfg)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(got))
+
+    def test_bricks_random_points_fall_back(self):
+        """Spatially-random candidates overflow the brick run cap -> the
+        lax.cond fallback reproduces the plain gather exactly."""
+        from radnerf_tpu.ops.marching import (
+            occupancy_lookup, occupancy_lookup_bricks,
+        )
+
+        cfg = MarchConfig(scale=0.5, cascades=1, grid_size=64)
+        rng = np.random.default_rng(11)
+        occ = jnp.asarray(rng.random((1, 64, 64, 64)) < 0.3)
+        xyz = jnp.asarray(
+            rng.uniform(-0.45, 0.45, size=(32, 256, 3)), jnp.float32
+        )
+        dt = jnp.full((32, 256), cfg.dt_min, jnp.float32)
+        full = occupancy_lookup(xyz, dt, occ, cfg)
+        got = occupancy_lookup_bricks(xyz, dt, occ, cfg)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(got))
+
+    def test_pack_occ_bricks_layout(self):
+        from radnerf_tpu.ops.marching import OCC_BRICK, pack_occ_bricks
+
+        rng = np.random.default_rng(5)
+        G = 16
+        occ = rng.random((1, G, G, G)) < 0.5
+        rows = np.asarray(pack_occ_bricks(jnp.asarray(occ)), np.float32)
+        bx, by, bz = OCC_BRICK
+        for _ in range(50):
+            x, y, z = rng.integers(0, G, size=3)
+            bk = ((x // bx) * (G // by) + y // by) * (G // bz) + z // bz
+            lane = (x % bx) + (y % by) * bx + (z % bz) * bx * by
+            assert rows[bk, lane] == float(occ[0, x, y, z])
