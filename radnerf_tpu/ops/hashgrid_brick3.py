@@ -490,16 +490,41 @@ def hashgrid_encode_brick3_ref(
 
 # ---------------------------------------------------------------- backward
 
-def _make_brick3_kernel(exact: bool):
+def _make_brick3_kernel(exact: bool, packed: bool = False):
     """Kernel: `exact` keeps f32 matmul operands (test path); fast path
-    uses bf16 MXU operands with f32 accumulation (V rows are already
-    f16-quantized sort payloads)."""
+    uses bf16 MXU operands with f32 accumulation. `packed` takes the
+    two-word payload wire format (see _bwd_streams3): sorting 2 payload
+    arrays instead of 5 measurably shrinks the dominant backward sort
+    (bitonic passes move every payload)."""
     mdtype = jnp.float32 if exact else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if exact else None
 
-    def _brick3_scatter_kernel(
+    def _packed_kernel(skw_ref, pf_ref, pg_ref, out_ref, m_s):
+        # s32 wire format (Mosaic has no u32<->f32 casts in-kernel);
+        # bf16 grads reconstruct exactly by shifting their bits into a
+        # same-width f32 bitcast (bf16 -> f32 is bit-extension)
+        pf = pf_ref[0, 0, :, :]
+        inv = jnp.float32(1.0 / 1023.0)
+        fx = (pf & 1023).astype(jnp.float32) * inv
+        fy = ((pf >> 10) & 1023).astype(jnp.float32) * inv
+        fz = ((pf >> 20) & 1023).astype(jnp.float32) * inv
+        pg = pg_ref[0, 0, :, :]
+        hi16 = jax.lax.shift_right_logical(pg, 16) << 16
+        g0 = jax.lax.bitcast_convert_type(hi16, jnp.float32)
+        g1 = jax.lax.bitcast_convert_type(pg << 16, jnp.float32)
+        _scatter_body(skw_ref, g0, g1, fx, fy, fz, out_ref, m_s)
+
+    def _wide_kernel(
         skw_ref, g0w_ref, g1w_ref, fxw_ref, fyw_ref, fzw_ref, out_ref, m_s
     ):
+        _scatter_body(
+            skw_ref,
+            g0w_ref[0, 0, :, :], g1w_ref[0, 0, :, :],
+            fxw_ref[0, 0, :, :], fyw_ref[0, 0, :, :], fzw_ref[0, 0, :, :],
+            out_ref, m_s,
+        )
+
+    def _scatter_body(skw_ref, g0w, g1w, fxv, fyv, fzv, out_ref, m_s):
         """Accumulate one (level, tile) block of sorted cube updates.
 
         Phase 1 builds the per-entry trilinear stencil TRANSPOSED --
@@ -537,15 +562,11 @@ def _make_brick3_kernel(exact: bool):
         # elementwise work plus two tiny one-hot matmuls
         m_s[...] = _stencil_T(
             skw_ref[0, 0, :, :] & 127,
-            fxw_ref[0, 0, :, :],
-            fyw_ref[0, 0, :, :],
-            fzw_ref[0, 0, :, :],
+            fxv, fyv, fzv,
             tile, mdtype, exact=exact,
         )
 
         row_e = skw_ref[0, 0, :, :] >> 7            # (1, TILE)
-        g0w = g0w_ref[0, 0, :, :]                   # (1, TILE)
-        g1w = g1w_ref[0, 0, :, :]
         w_sub = jax.lax.broadcasted_iota(jnp.int32, (WSPAN, tile), 0)
         r_lo = jnp.min(row_e)
         r_hi = jnp.max(row_e)
@@ -569,7 +590,7 @@ def _make_brick3_kernel(exact: bool):
 
         jax.lax.fori_loop(0, n_win, body, 0)
 
-    return _brick3_scatter_kernel
+    return _packed_kernel if packed else _wide_kernel
 
 
 def sorted_table_grad_brick3(
@@ -590,11 +611,16 @@ def sorted_table_grad_brick3(
 
     where ax = (lx_lane == lx0_e) ? (1-fx) : (lx_lane == lx0_e+1) ? fx
     : 0 against the STATIC per-lane cube coordinates lx = lane % 5,
-    ly = (lane // 5) % 5, lz = lane // 25 — six compares per element
-    instead of eight corner-offset selects per feature, and no f16
-    packing/quantization at all (payload count does not change
-    lax.sort's cost on TPU; measured flat 27 ms at 16 x 524k for 1..8
-    payloads)."""
+    ly = (lane // 5) % 5, lz = lane // 25.
+
+    vals may instead be the PACKED 2-word wire format (fast path, see
+    _bwd_streams3 packed=True): (pf u32 = fx10|fy10|fz10, pg u32 =
+    g0.bf16 << 16 | g1.bf16) — at 12-level x 328k bench streams the
+    backward bitonic sort was ~27%% of the whole train step and its
+    cost DOES scale with payload count at these sizes, so the fast
+    path sorts 2 payload words instead of 5 (fracs quantized to 10
+    bits, grads to bf16 — both at/beyond the bf16 stencil precision
+    the fast path already carries)."""
     L, n = sk.shape
     T = table_size
     R = T // LANES
@@ -615,17 +641,22 @@ def sorted_table_grad_brick3(
     def wide(a):
         return a.reshape(L, n_tiles, 1, TILE)
 
-    fx, fy, fz, g0, g1 = vals
+    packed = len(vals) == 2
     wide_spec = pl.BlockSpec(
         (1, 1, 1, TILE), lambda l, p: (l, p, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    operands = [wide(sk)] + [wide(v) for v in vals] if packed else None
+    if not packed:
+        fx, fy, fz, g0, g1 = vals
+        operands = [wide(sk), wide(g0), wide(g1),
+                    wide(fx), wide(fy), wide(fz)]
     slab = pl.pallas_call(
-        _make_brick3_kernel(exact),
+        _make_brick3_kernel(exact, packed=packed),
         out_shape=jax.ShapeDtypeStruct((L, 2 * rows_pad, LANES),
                                        jnp.float32),
         grid=(L, n_tiles),
-        in_specs=[wide_spec] * 6,
+        in_specs=[wide_spec] * len(operands),
         out_specs=pl.BlockSpec(
             (1, 2 * rows_pad, LANES), lambda l, p: (l, 0, 0),
             memory_space=pltpu.VMEM,
@@ -637,14 +668,20 @@ def sorted_table_grad_brick3(
             vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(wide(sk), wide(g0), wide(g1), wide(fx), wide(fy), wide(fz))
+    )(*operands)
     slab = slab.reshape(L, 2, rows_pad, LANES)[:, :, :R, :]
     return jnp.moveaxis(slab, 1, -1).reshape(L, T, 2)
 
 
-def _bwd_streams3(x: jnp.ndarray, g: jnp.ndarray, cfg: HashGridConfig):
-    """Sort streams: key (L, N) int32 + 5 payload planes (L, N) f32
-    (fx, fy, fz, g0, g1 — see sorted_table_grad_brick3)."""
+def _bwd_streams3(x: jnp.ndarray, g: jnp.ndarray, cfg: HashGridConfig,
+                  packed: bool = False):
+    """Sort streams: key (L, N) int32 + payloads (L, N).
+
+    packed=False: 5 f32 planes (fx, fy, fz, g0, g1).
+    packed=True (fast path): 2 u32 planes — pf = fx10 | fy10<<10 |
+    fz10<<20 (round(frac * 1023)) and pg = g0.bf16<<16 | g1.bf16 —
+    so the dominant backward sort moves 2 payload words per entry
+    instead of 5 (see sorted_table_grad_brick3)."""
     L = cfg.n_levels
     N = x.shape[0]
     R = cfg.table_size // LANES
@@ -660,7 +697,19 @@ def _bwd_streams3(x: jnp.ndarray, g: jnp.ndarray, cfg: HashGridConfig):
         )
         r = _brick3_row(a, px, py, pz, R)
         keys.append((r * jnp.uint32(LANES)).astype(jnp.int32) + lane0)
-    return jnp.stack(keys), (frac[:, 0], frac[:, 1], frac[:, 2], g0, g1)
+    key = jnp.stack(keys)
+    if not packed:
+        return key, (frac[:, 0], frac[:, 1], frac[:, 2], g0, g1)
+
+    def q10(f):
+        return jnp.round(f * 1023.0).astype(jnp.int32)
+
+    pf = q10(frac[:, 0]) | (q10(frac[:, 1]) << 10) | (q10(frac[:, 2]) << 20)
+    to16 = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.int32)
+    pg = (to16(g0) << 16) | to16(g1)
+    return key, (pf, pg)
 
 
 def hashgrid_table_grad_brick3(
@@ -683,8 +732,10 @@ def hashgrid_table_grad_brick3(
     cost far less than its share of the batched (L, n) bitonic sort
     (~1.2 ms/level at bench shapes).
 
-    `exact` keeps f32 matmul operands in the window kernel (tests)."""
-    key, v = _bwd_streams3(x, g, cfg)
+    `exact` keeps f32 matmul operands in the window kernel (tests) and
+    the full 5-plane f32 payload wire format; the fast path sorts the
+    2-word packed payloads."""
+    key, v = _bwd_streams3(x, g, cfg, packed=not exact)
     rows_per_level = [a.rows for a in brick3_addrs(cfg)]
     # resolutions grow monotonically, so the skip set is a prefix
     ls = sum(1 for r in rows_per_level if r + WSPAN <= SKIP_SORT_ROWS)

@@ -328,8 +328,8 @@ class TestAdaptiveBudget:
     def test_bucket_policy(self):
         from radnerf_tpu.train.trainer import next_budget_bucket
 
-        assert next_budget_bucket(48, 0.99) == 64     # saturated: grow
-        assert next_budget_bucket(96, 0.99) == 96     # top bucket: stay
+        assert next_budget_bucket(48, 0.99) == 56     # saturated: grow
+        assert next_budget_bucket(112, 0.99) == 112   # top bucket: stay
         assert next_budget_bucket(64, 0.70) == 64     # hysteresis band
         assert next_budget_bucket(64, 0.30) == 32     # shrink toward ~70%
         assert next_budget_bucket(64, 0.10) == 16
