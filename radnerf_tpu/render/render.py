@@ -47,16 +47,19 @@ class RenderConfig:
     max_samples: int = MAX_SAMPLES
     random_bg: bool = False
     test_block_samples: int = 64       # samples per while-loop iteration
-    test_k_block: int = 256            # lattice candidates examined per iter
+    test_k_block: int = 512            # lattice candidates examined per iter
     # test-time layout: "flat" compacts alive rays' samples into a
     # N*test_budget_per_ray buffer each iteration (the static budget
     # redistributes to surviving rays — see march_rays_test_flat);
     # "dense" is the (N, S) masked-lane path (render_test_compacted adds
     # host-side ray compaction on top of it)
     test_layout: str = "flat"
-    # swept on v5e (docs/PERF_NOTES.md): 8 -> 9.7k, 16 -> 8.5k, 32 -> 5.8k
-    # rays/s on the 400x400 half-converged-grid load
-    test_budget_per_ray: int = 8
+    # round-5 sweep on v5e at chunk 8192 (docs/PERF_NOTES.md): with the
+    # brick3 encode + brick occupancy the per-iteration fixed costs
+    # dominate, inverting the round-3 optimum: budget 8 -> 42.2k,
+    # 16 -> 52.3k, 24 -> 48.1k, 32 -> 39.2k rays/s; k_block 256 -> 52.3k,
+    # 512 -> 55.0k, 1024 -> 46.0k
+    test_budget_per_ray: int = 16
     layout: str = "dense"              # "dense" (N, S) | "flat" static CSR
     budget_per_ray: int = 64           # flat layout: B = N * budget_per_ray
     # MoE: march/encode the union of the K experts' samples once instead of
