@@ -143,11 +143,13 @@ def get_parser() -> argparse.ArgumentParser:
                           'table layouts with their own hashes — '
                           'checkpoints are tied to the impl family that '
                           'trained them')
-    tpu.add_argument('--val_chunk', type=int, default=8192,
-                     help='rays per test-time render chunk (v5e sweep: '
-                          '8192 -> 35.8k rays/s, 16384 -> 34.1k, 65536 '
-                          '-> 28.9k — smaller chunks retire whole '
-                          'while-loops sooner; docs/PERF_NOTES.md)')
+    tpu.add_argument('--val_chunk', type=int, default=4096,
+                     help='rays per test-time render chunk (round-5 v5e '
+                          'sweep at the new test budget 16 x k_block '
+                          '512: 2048 -> 57.9k rays/s, 4096 -> 57.5k, '
+                          '8192 -> 55.0k, 16384 -> 42.5k — smaller '
+                          'chunks retire whole while-loops sooner; '
+                          'docs/PERF_NOTES.md)')
     tpu.add_argument('--adaptive_budget', action=argparse.BooleanOptionalAction,
                      default=True,
                      help='re-pick the flat-layout sample budget bucket '
