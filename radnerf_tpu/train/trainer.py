@@ -391,19 +391,20 @@ class NeRFSystem:
         mb = getattr(h, "microbatch", 0)
         if mb == 0:
             # AUTO (the default): one gradient-accumulation slice per
-            # 4096 local rays. One 8192-ray pass on a v5e-1 chip hits a
-            # measured memory-pressure regime change (~2.2x slower than
-            # 2x4096 accumulation; docs/PERF_NOTES.md "8192 cliff"), so
-            # a user running the reference headline batch must not land
-            # there silently (VERDICT r4 weak #3). Accumulation is
-            # gradient-identical up to summation order, so the rule is
-            # backend-agnostic; batches <= 4096/device are unaffected.
+            # 2048 local rays. The backward bitonic sort is the step's
+            # superlinear component (n log^2 n + a working-set spill
+            # past ~328k entries/level; docs/PERF_NOTES.md "8192
+            # cliff"), so smaller slices win: measured on v5e-1 at
+            # batch 8192, slices of 4096 -> 62.0k rays/s, 2048 ->
+            # 66.2k, 1024 -> 63.4k. Accumulation is gradient-identical
+            # up to summation order, so the rule is backend-agnostic;
+            # batches <= 2048/device are unaffected.
             local = max(1, h.batch_size // max(self.mesh.size, 1))
-            mb = max(1, -(-local // 4096))
+            mb = max(1, -(-local // 2048))
             if mb > 1:
                 self.logger.info(
                     f"auto microbatch: local batch {local} -> "
-                    f"{mb} accumulation slices (<=4096 rays each)"
+                    f"{mb} accumulation slices (<=2048 rays each)"
                 )
         self.train_step = make_train_step(
             loss_fn, self.optimizer, self.mesh, microbatch=mb,
