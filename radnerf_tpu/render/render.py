@@ -46,7 +46,7 @@ class RenderConfig:
     samples_per_ray: int = 192         # S: per-ray occupied-sample cap
     max_samples: int = MAX_SAMPLES
     random_bg: bool = False
-    test_block_samples: int = 64       # samples per while-loop iteration
+    test_block_samples: int = 128      # per-iteration per-ray sample cap
     test_k_block: int = 512            # lattice candidates examined per iter
     # test-time layout: "flat" compacts alive rays' samples into a
     # N*test_budget_per_ray buffer each iteration (the static budget
@@ -54,12 +54,14 @@ class RenderConfig:
     # "dense" is the (N, S) masked-lane path (render_test_compacted adds
     # host-side ray compaction on top of it)
     test_layout: str = "flat"
-    # round-5 sweep on v5e at chunk 8192 (docs/PERF_NOTES.md): with the
+    # round-5 sweep on v5e at chunk 4096 (docs/PERF_NOTES.md): with the
     # brick3 encode + brick occupancy the per-iteration fixed costs
-    # dominate, inverting the round-3 optimum: budget 8 -> 42.2k,
-    # 16 -> 52.3k, 24 -> 48.1k, 32 -> 39.2k rays/s; k_block 256 -> 52.3k,
-    # 512 -> 55.0k, 1024 -> 46.0k
-    test_budget_per_ray: int = 16
+    # dominate, inverting the round-3 small-budget optimum. Joint
+    # optimum (S=test_block_samples, b=budget, k=k_block): (128, 24,
+    # 512) -> 60.0k rays/s; neighbors (64, 16, 512) 57.5k, (128, 16,
+    # 512) 58.6k, (192, 16, 512) 58.3k, (128, 32, 512) 59.0k,
+    # (128, 24, 1024) 56.6k
+    test_budget_per_ray: int = 24
     layout: str = "dense"              # "dense" (N, S) | "flat" static CSR
     budget_per_ray: int = 64           # flat layout: B = N * budget_per_ray
     # MoE: march/encode the union of the K experts' samples once instead of
